@@ -1,0 +1,102 @@
+"""QuantizedLinear — drop-in INT4 linear layer (pytree module).
+
+TPU-native counterpart of the reference's ``QuantizedLinear(nn.Module)``
+(`/root/reference/python/module.py:33-138`). Instead of ``register_buffer``
+state on an ``nn.Module``, the layer is a frozen pytree dataclass holding a
+:class:`~fused4bit_tpu.quant.QuantizedTensor` — it jits, vmaps, shards with
+``jax.sharding``, and checkpoints with orbax out of the box.
+
+Dispatch mirrors the reference (`python/module.py:113-118`): the fused Pallas
+kernel on TPU, the pure-jnp golden reference elsewhere (or when
+``use_kernel=False``). ``from_dense`` is the ``from_linear`` converter
+(`python/module.py:67-98`); unlike the reference (assert at :84) we support an
+optional bias — it simply adds after the matmul and stays unquantized.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.int4_matmul import int4_matmul
+from ..quant.core import QuantizedTensor, quantize
+from ..quant.reference import reference_linear_qt
+
+__all__ = ["QuantizedLinear"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class QuantizedLinear:
+    """INT4 weight-only linear layer: ``y = x @ dequant(W)^T (+ b)``."""
+
+    weight: QuantizedTensor
+    bias: Optional[jnp.ndarray] = None
+    use_kernel: bool = dataclasses.field(metadata=dict(static=True), default=True)
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def from_dense(
+        cls,
+        weight: jnp.ndarray,
+        bias: Optional[jnp.ndarray] = None,
+        *,
+        granularity: str = "per_row",
+        use_kernel: bool = True,
+        **quant_kw,
+    ) -> "QuantizedLinear":
+        """Quantize a dense [N, K] weight (reference from_linear,
+        `python/module.py:67-98`)."""
+        qt = quantize(weight, granularity=granularity, layout="planar", **quant_kw)
+        return cls(weight=qt, bias=bias, use_kernel=use_kernel)
+
+    @classmethod
+    def init(
+        cls,
+        key: jax.Array,
+        in_dim: int,
+        out_dim: int,
+        *,
+        bias: bool = False,
+        dtype=jnp.float32,
+        **kw,
+    ) -> "QuantizedLinear":
+        w = jax.random.normal(key, (out_dim, in_dim), dtype) * (in_dim ** -0.5)
+        b = jnp.zeros((out_dim,), dtype) if bias else None
+        return cls.from_dense(w, b, **kw)
+
+    # -- properties ----------------------------------------------------------
+
+    @property
+    def in_dim(self) -> int:
+        return self.weight.in_dim
+
+    @property
+    def out_dim(self) -> int:
+        return self.weight.out_dim
+
+    @property
+    def nbytes(self) -> int:
+        extra = self.bias.size * self.bias.dtype.itemsize if self.bias is not None else 0
+        return self.weight.nbytes + extra
+
+    # -- forward -------------------------------------------------------------
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.use_kernel and self.weight.granularity == "per_row":
+            y = int4_matmul(x, self.weight)
+        else:
+            y = reference_linear_qt(x, self.weight, dtype=x.dtype)
+        if self.bias is not None:
+            y = y + self.bias.astype(y.dtype)
+        return y
+
+    def __repr__(self) -> str:  # reference extra_repr (`python/module.py:134-138`)
+        return (
+            f"QuantizedLinear(in={self.in_dim}, out={self.out_dim}, "
+            f"bits={self.weight.bits}, granularity={self.weight.granularity}, "
+            f"bias={self.bias is not None})"
+        )

@@ -1,0 +1,318 @@
+"""Fused INT4 dequantize + matmul Pallas TPU kernel.
+
+TPU-native re-design of the reference CUDA kernel
+`quantized_linear_optimized_kernel` (`/root/reference/csrc/
+quantized_linear_kernel.cu:90-279`). The reference assigns one CUDA thread per
+output element, stages the input vector in shared memory, and unpacks 32
+nibbles per `uint4` load with an FMA inner loop. On TPU the same job maps to:
+
+* a Pallas grid over (M-tiles, N-tiles, K-tiles); HBM→VMEM staging is done by
+  the BlockSpec pipeline (hardware DMA replaces hand-written smem tiling,
+  SURVEY.md §7 idiom table). With the planar packed layout each weight tile is
+  a run of long contiguous rows (K/2 bytes each), which is what the DMA
+  engines want — the analogue of the reference's 16-byte `uint4` vector loads
+  (`...cu:182-199`).
+* nibble unpack on the VPU in the 8-bit domain: ``p & 0xF`` / ``p >> 4`` on
+  uint8 lanes, one int8→bf16 hardware convert, and a bf16 zero-point subtract
+  (vs. per-byte scalar unpack at `...cu:223-224`). 8-bit adds and u8→f32
+  casts crash or are unsupported in Mosaic — the u8 → i8 bitcast → bf16
+  convert → bf16 subtract sequence is the fast *and* exact path, since
+  ``q - zp`` is an integer in [-15, 15] (exact in bfloat16).
+* the multiply-accumulate runs on the 128x128 MXU as two real matmuls (low
+  nibbles against the first half of x, high nibbles against the second half —
+  planar packing makes both contiguous, so no lane interleave ever happens).
+
+Numerical design (SURVEY.md §7 "hard parts" — per-row scales vs MXU tiling):
+with asymmetric per-row quantization ``W[j,i] = (q[j,i] - zp[j]) * s[j]``, the
+kernel subtracts the zero-point *before* the dot and applies the scale
+*after*:
+
+    y[b,j] = s[j] * ( x[b,:] @ (q[j,:] - zp[j])^T )
+
+so the per-row scale touches only the [M, TILE_N] output tile, never the
+inner loop. (The alternative ``s*(x@q^T) - s*zp*sum(x)`` rearrangement
+suffers catastrophic cancellation at reduced matmul precision because
+``x@q^T`` is large and uncentered.) The weights stay packed INT4 in HBM; per
+K-tile the kernel moves ``TILE_N * TILE_K / 2`` bytes instead of
+``2 * TILE_N * TILE_K`` (bf16) — the entire speedup in the memory-bound
+decode regime.
+
+Falls back to interpreter mode off-TPU so the same tests run everywhere.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..quant.core import QuantizedTensor
+
+__all__ = ["int4_matmul", "quantized_linear"]
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(x: int, m: int) -> int:
+    return _cdiv(x, m) * m
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+# ---------------------------------------------------------------------------
+# Kernel body
+# ---------------------------------------------------------------------------
+
+
+def _unpack_halves(p: jnp.ndarray, zp_col, compute_dtype):
+    """Packed planar bytes [TN, C] -> centered (qlo, vhi) in compute_dtype.
+
+    Mosaic cannot legalize 8-bit shifts or adds, so the unpack uses *masks
+    only* (u8 lane ops), one hardware i8->float convert per half, and a float
+    broadcast-subtract:
+
+      qlo = i8(p & 0x0F) - zp                       == q_lo - zp
+      vhi = i8(p & 0xF0) - 16*(zp - 8)              == 16 * (q_hi - zp)
+
+    The high nibble was stored XOR 8 by ``pack_planar``, so its masked byte
+    reinterpreted as two's-complement int8 is exactly ``16*(q_hi - 8)`` — the
+    caller multiplies the hi dot product by 1/16 (an exact f32 exponent
+    shift). All intermediate values are integers with |v| <= 240, exactly
+    representable in bfloat16.
+    """
+    qlo = (p & 0x0F).astype(jnp.int8).astype(compute_dtype) - zp_col
+    vhi = (p & 0xF0).astype(jnp.int8).astype(compute_dtype) - 16.0 * (
+        zp_col - 8.0
+    ).astype(compute_dtype)
+    return qlo, vhi
+
+
+def _int4_matmul_kernel(
+    x_ref,        # [TM, K]        activations (full K rows)
+    w_ref,        # [TN, TKH]      packed nibbles (u8), planar: TKH = TK/2
+    s_ref,        # [1, TN] f32    per-row scales
+    z_ref,        # [1, TN] f32    per-row zero-points (integer-valued)
+    o_ref,        # [TM, TN]
+    acc_ref,      # [TM, TN] f32 scratch
+    *,
+    n_k: int,
+    k_half: int,     # K/2 — offset of the hi-nibble columns in x
+    tile_kh: int,    # packed bytes per k-tile (= TK/2)
+    compute_dtype,
+):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    zp_col = z_ref[0, :][:, None].astype(compute_dtype)  # [TN, 1]
+    qlo, vhi = _unpack_halves(w_ref[:], zp_col, compute_dtype)
+
+    # Planar layout: byte column c of the k-th tile holds q columns
+    # (k*tile_kh + c) [lo nibble] and (k_half + k*tile_kh + c) [hi nibble];
+    # both x slices are contiguous.
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    if n_k == 1:
+        # Static slices: no 128-multiple provability constraints on offsets.
+        x_lo = x_ref[:, :k_half].astype(compute_dtype)
+        x_hi = x_ref[:, k_half:].astype(compute_dtype)
+    else:
+        # tile_kh is kept a multiple of 128 by the wrapper when n_k > 1.
+        off = pl.multiple_of(k * tile_kh, 128)
+        x_lo = x_ref[:, pl.ds(off, tile_kh)].astype(compute_dtype)
+        x_hi = x_ref[:, pl.ds(k_half + off, tile_kh)].astype(compute_dtype)
+    dims = (((1,), (1,)), ((), ()))
+    acc_ref[:] += jax.lax.dot_general(
+        x_lo, qlo, dims, preferred_element_type=jnp.float32, precision=prec
+    ) + 0.0625 * jax.lax.dot_general(
+        x_hi, vhi, dims, preferred_element_type=jnp.float32, precision=prec
+    )
+
+    @pl.when(k == n_k - 1)
+    def _finish():
+        o_ref[:] = (s_ref[0, :][None, :] * acc_ref[:]).astype(o_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Host-side wrapper
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "tile_m", "tile_n", "tile_kh", "compute_dtype", "out_dtype", "interpret",
+    ),
+)
+def _int4_matmul_padded(
+    x, packed, scales, zero_points,
+    *, tile_m: int, tile_n: int, tile_kh: int, compute_dtype, out_dtype, interpret,
+):
+    """Core pallas_call on pre-padded operands.
+
+    x:      [M, K]   (M % tile_m == 0)
+    packed: [N, K/2] (N % tile_n == 0, (K/2) % tile_kh == 0), planar layout
+    scales, zero_points: [N] f32
+    """
+    m, k = x.shape
+    n, k_half = packed.shape
+    n_k = k_half // tile_kh
+    grid = (m // tile_m, n // tile_n, n_k)
+
+    kernel = functools.partial(
+        _int4_matmul_kernel,
+        n_k=n_k,
+        k_half=k_half,
+        tile_kh=tile_kh,
+        compute_dtype=compute_dtype,
+    )
+
+    flops = 2 * m * n * k
+    bytes_accessed = x.size * x.dtype.itemsize + packed.size + 2 * n * 4 + m * n * 4
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            # x: the full K row range for this m-tile (sliced inside).
+            pl.BlockSpec((tile_m, k), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM),
+            # packed weights: [TN, tile_kh] bytes — long contiguous rows.
+            pl.BlockSpec(
+                (tile_n, tile_kh), lambda i, j, kk: (j, kk), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, tile_n), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_m, tile_n), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, packed, scales[None, :], zero_points[None, :])
+
+
+def _pick_tiles(m: int, n: int, k: int, x_bytes: int):
+    """Choose (tile_m, tile_n, tile_kh) under a VMEM budget.
+
+    Weight-tile rows must be long for DMA efficiency, so prefer splitting K
+    as little as possible; unpacked bf16 temporaries are the VMEM hog.
+    """
+    tile_m = m if m <= 256 else 256
+    tile_n = min(512, _round_up(n, 128))
+    k_half = k // 2
+    # Unpacked lo+hi temporaries: 2 * tile_n * tile_kh * 2B (bf16) or 4B (f32);
+    # keep them + 2x packed buffers under ~8MB.
+    budget = 8 * 1024 * 1024
+    tile_kh = k_half
+    while tile_kh > 512:
+        tmp = 2 * tile_n * tile_kh * 4 + 2 * tile_n * tile_kh
+        xb = tile_m * k * x_bytes
+        if tmp + xb <= budget:
+            break
+        if tile_kh % 2 != 0:
+            break
+        tile_kh //= 2
+    return tile_m, tile_n, tile_kh
+
+
+def int4_matmul(
+    x: jnp.ndarray,
+    qt: QuantizedTensor,
+    *,
+    tile_n: Optional[int] = None,
+    compute_dtype=None,
+    out_dtype=None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """``x @ dequant(qt)^T`` without materializing the dense weight.
+
+    Args:
+      x:  [..., K] activations (f32 or bf16).
+      qt: per_row-quantized, planar/block_planar-packed weight [N, K].
+    Returns [..., N].
+    """
+    if qt.granularity != "per_row":
+        raise NotImplementedError(
+            f"fused kernel supports per_row scales; got {qt.granularity}"
+        )
+    if qt.layout != "planar":
+        raise ValueError(
+            f"kernel requires the planar layout (see pack_planar); got {qt.layout}"
+        )
+
+    n, k = qt.out_dim, qt.in_dim
+    if x.shape[-1] != k:
+        raise ValueError(f"x.shape[-1]={x.shape[-1]} != K={k}")
+    if interpret is None:
+        interpret = not _on_tpu()
+    if compute_dtype is None:
+        compute_dtype = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
+    if out_dtype is None:
+        out_dtype = x.dtype
+
+    lead = x.shape[:-1]
+    m = 1
+    for d in lead:
+        m *= d
+    x2 = x.reshape(m, k)
+
+    m_pad = max(_round_up(m, 8), 8)
+    tile_m, tn, tile_kh = _pick_tiles(m_pad, n, k, jnp.dtype(x.dtype).itemsize)
+    if tile_n is not None:
+        tn = min(tile_n, _round_up(n, 128))
+    # The k-split must divide K/2 exactly AND (when splitting) keep dynamic
+    # lane offsets at 128-multiples; otherwise fall back to a single k-tile.
+    k_half = k // 2
+    while k_half % tile_kh != 0:
+        tile_kh //= 2
+    if tile_kh != k_half and (tile_kh % 128 != 0 or k_half % 128 != 0):
+        tile_kh = k_half
+    m_pad = _round_up(m_pad, tile_m)
+    n_pad = _round_up(n, tn)
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+    packed = qt.packed
+    scales = qt.scales.astype(jnp.float32)
+    zps = qt.zero_points.astype(jnp.float32)
+    if n_pad != n:
+        packed = jnp.pad(packed, ((0, n_pad - n), (0, 0)))
+        scales = jnp.pad(scales, (0, n_pad - n))
+        zps = jnp.pad(zps, (0, n_pad - n))
+
+    out = _int4_matmul_padded(
+        x2, packed, scales, zps,
+        tile_m=tile_m,
+        tile_n=tn,
+        tile_kh=tile_kh,
+        compute_dtype=compute_dtype,
+        out_dtype=out_dtype,
+        interpret=interpret,
+    )
+    return out[:m, :n].reshape(*lead, n)
+
+
+def quantized_linear(x, qt: QuantizedTensor, **kw):
+    """Alias with the reference's forward semantics (`python/module.py:100`)."""
+    return int4_matmul(x, qt, **kw)

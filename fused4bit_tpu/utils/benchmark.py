@@ -1,0 +1,115 @@
+"""Benchmark timing utilities.
+
+TPU counterpart of the reference's harness plumbing
+(`/root/reference/benchmark/moe_grouped_gemm/utils.py:11-60` — BenchmarkResult
+dataclass + warmup/sync `timer_ms`). Two timing modes:
+
+* :func:`time_fn` — wall-clock over repeated dispatches with warmup and a
+  final ``block_until_ready`` (the `torch.cuda.Event` analogue,
+  `benchmark/run_benchmark.py:93-104`).
+* :func:`time_fn_scan` — wraps the op in an on-device ``lax.scan`` loop inside
+  a single jit call, so per-call host dispatch overhead (notably the remote
+  tunnel on this setup: ~0.5 ms/call) is amortized away. This is the honest
+  device-time number and what the roofline compares against.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["BenchmarkResult", "time_fn", "time_fn_scan", "print_table"]
+
+
+@dataclasses.dataclass
+class BenchmarkResult:
+    """One benchmark measurement (reference `utils.py:11-27`)."""
+
+    name: str
+    mean_ms: float
+    std_ms: float = 0.0
+    num_tokens: int = 0
+    extra: Dict[str, float] = dataclasses.field(default_factory=dict)
+
+    @property
+    def tokens_per_second(self) -> float:
+        if self.num_tokens == 0 or self.mean_ms == 0:
+            return 0.0
+        return self.num_tokens / (self.mean_ms / 1e3)
+
+
+def time_fn(fn: Callable[[], jax.Array], *, warmup: int = 5, iters: int = 50) -> float:
+    """Mean wall-clock seconds per call (includes dispatch overhead)."""
+    for _ in range(warmup):
+        out = fn()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def time_fn_scan(
+    fn: Callable[[jax.Array], jax.Array],
+    x: jax.Array,
+    *,
+    iters: int = 50,
+    warmup: int = 2,
+    repeats: int = 5,
+) -> float:
+    """Mean device seconds per application of ``fn`` measured inside one jit.
+
+    Chains ``iters`` applications with a data dependence (each step consumes a
+    scalar derived from the previous output) so XLA cannot elide or overlap
+    them away, then divides total wall time of the single dispatch by
+    ``iters``.
+    """
+
+    @jax.jit
+    def loop(x0):
+        def body(carry, _):
+            # Real (but numerically negligible) data dependence: XLA cannot
+            # hoist fn out of the loop or fold the carry away, unlike a `*0`
+            # dependence which constant-folds.
+            y = fn(x0 + carry)
+            dep = jnp.real(jnp.ravel(y)[0]).astype(x0.dtype) * jnp.asarray(
+                1e-30, x0.dtype
+            )
+            return dep, None
+
+        c, _ = jax.lax.scan(body, jnp.zeros((), x0.dtype), None, length=iters)
+        return c
+
+    for _ in range(warmup):
+        loop(x).block_until_ready()
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        loop(x).block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
+
+
+def print_table(results: List[BenchmarkResult], baseline: Optional[str] = None) -> str:
+    """Render results as a table (reference `utils.py:143-162`)."""
+    base = None
+    if baseline is not None:
+        for r in results:
+            if r.name == baseline:
+                base = r.mean_ms
+    lines = [
+        f"{'implementation':<28} {'mean ms':>10} {'tokens/s':>12} {'speedup':>8}",
+        "-" * 62,
+    ]
+    for r in results:
+        sp = f"{base / r.mean_ms:.2f}x" if base else "-"
+        lines.append(
+            f"{r.name:<28} {r.mean_ms:>10.3f} {r.tokens_per_second:>12.0f} {sp:>8}"
+        )
+    out = "\n".join(lines)
+    print(out)
+    return out

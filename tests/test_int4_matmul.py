@@ -1,0 +1,148 @@
+"""Fused kernel vs golden reference — the reference's correctness ladder level 3.
+
+Mirrors `tests/test_correctness.py:189-253` (CUDA-vs-reference) with the same
+tolerance ladder: atol 1e-3 for small/batched shapes, 1e-2 for large shapes
+(f32 accumulation-order differences). On CPU the Pallas kernel runs in
+interpreter mode; on TPU the same tests exercise the compiled kernel.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fused4bit_tpu.layers.linear import QuantizedLinear
+from fused4bit_tpu.ops.int4_matmul import int4_matmul
+from fused4bit_tpu.quant import quantize, reference_linear_qt
+
+
+def randw(rng, *shape):
+    return jnp.asarray(rng.standard_normal(shape), dtype=jnp.float32)
+
+
+class TestInt4Matmul:
+    def test_1d_input(self, rng):
+        w = randw(rng, 128, 256)
+        x = randw(rng, 256)
+        qt = quantize(w)
+        got = int4_matmul(x, qt)
+        want = reference_linear_qt(x, qt)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
+
+    def test_batched(self, rng):
+        w = randw(rng, 128, 512)
+        x = randw(rng, 4, 512)
+        qt = quantize(w)
+        np.testing.assert_allclose(
+            np.asarray(int4_matmul(x, qt)),
+            np.asarray(reference_linear_qt(x, qt)),
+            atol=1e-3,
+        )
+
+    def test_3d_input(self, rng):
+        w = randw(rng, 64, 128)
+        x = randw(rng, 2, 3, 128)
+        qt = quantize(w)
+        got = int4_matmul(x, qt)
+        assert got.shape == (2, 3, 64)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(reference_linear_qt(x, qt)), atol=1e-3
+        )
+
+    @pytest.mark.parametrize("n,k", [(256, 1024), (384, 11008 // 8)])
+    def test_shapes(self, rng, n, k):
+        # 1376 = 11008/8: exercises the non-512 block_k path (choose_block_k).
+        w = randw(rng, n, k)
+        x = randw(rng, 8, k)
+        qt = quantize(w)
+        np.testing.assert_allclose(
+            np.asarray(int4_matmul(x, qt)),
+            np.asarray(reference_linear_qt(x, qt)),
+            atol=1e-2,
+        )
+
+    def test_unaligned_n(self, rng):
+        # N not a multiple of the tile: exercises the padding path.
+        w = randw(rng, 100, 256)
+        x = randw(rng, 3, 256)
+        qt = quantize(w)
+        got = int4_matmul(x, qt)
+        assert got.shape == (3, 100)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(reference_linear_qt(x, qt)), atol=1e-3
+        )
+
+    def test_large_tolerance_ladder(self, rng):
+        # Reference uses 4096x4096 at atol 1e-2 (:236-253); scaled down for CI
+        # speed but still multi-k-tile.
+        w = randw(rng, 512, 2048)
+        x = randw(rng, 16, 2048)
+        qt = quantize(w)
+        np.testing.assert_allclose(
+            np.asarray(int4_matmul(x, qt)),
+            np.asarray(reference_linear_qt(x, qt)),
+            atol=1e-2,
+        )
+
+    def test_no_nan(self, rng):
+        w = jnp.ones((64, 128)) * 2.0  # constant rows
+        x = randw(rng, 2, 128)
+        qt = quantize(w)
+        assert not bool(jnp.any(jnp.isnan(int4_matmul(x, qt))))
+
+    def test_bf16_activations(self, rng):
+        w = randw(rng, 128, 256)
+        x = randw(rng, 4, 256).astype(jnp.bfloat16)
+        qt = quantize(w)
+        got = int4_matmul(x, qt)
+        assert got.dtype == jnp.bfloat16
+        want = reference_linear_qt(x.astype(jnp.float32), qt)
+        # bf16 tolerance is looser
+        np.testing.assert_allclose(
+            np.asarray(got, dtype=np.float32), np.asarray(want), atol=0.15, rtol=0.05
+        )
+
+
+class TestQuantizedLinear:
+    def test_from_dense_matches_reference(self, rng):
+        w = randw(rng, 96, 128)
+        layer = QuantizedLinear.from_dense(w)
+        x = randw(rng, 5, 128)
+        np.testing.assert_allclose(
+            np.asarray(layer(x)),
+            np.asarray(reference_linear_qt(x, layer.weight)),
+            atol=1e-3,
+        )
+
+    def test_bias(self, rng):
+        w = randw(rng, 32, 64)
+        b = randw(rng, 32)
+        layer = QuantizedLinear.from_dense(w, b)
+        x = randw(rng, 2, 64)
+        got = layer(x)
+        want = reference_linear_qt(x, layer.weight) + b
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
+
+    def test_quality_vs_dense(self, rng):
+        w = randw(rng, 256, 512)
+        x = randw(rng, 512)
+        layer = QuantizedLinear.from_dense(w)
+        exact = x @ w.T
+        approx = layer(x)
+        cos = jnp.dot(exact, approx) / (
+            jnp.linalg.norm(exact) * jnp.linalg.norm(approx)
+        )
+        assert float(cos) > 0.95
+
+    def test_memory_reduction(self, rng):
+        layer = QuantizedLinear.from_dense(randw(rng, 1024, 1024))
+        dense_bytes = 1024 * 1024 * 4
+        assert dense_bytes / layer.nbytes >= 7.5
+
+    def test_per_group_falls_back_to_reference_path(self, rng):
+        w = randw(rng, 64, 256)
+        layer = QuantizedLinear.from_dense(w, granularity="per_group", group_size=64)
+        x = randw(rng, 2, 256)
+        np.testing.assert_allclose(
+            np.asarray(layer(x)),
+            np.asarray(reference_linear_qt(x, layer.weight)),
+            atol=1e-5,
+        )
