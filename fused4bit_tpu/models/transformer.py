@@ -1,0 +1,260 @@
+"""Mixtral-style INT4 decoder model (the flagship serving slice).
+
+The reference ships no model — only the quantized linear / MoE layer
+primitives plus Mixtral-8x7B *geometry* constants
+(`/root/reference/benchmark/moe_grouped_gemm/config.py:70-77`,
+`python/moe_int4_module.py:159-165`). This module assembles those primitives
+into the decode model the reference's README markets (INT4 weight-only
+inference): GQA attention with RoPE and an INT4 KV cache, SwiGLU MoE blocks
+on the grouped INT4 kernel, RMSNorm, all projections as `QuantizedLinear`.
+
+Everything is a frozen pytree dataclass: jit/vmap/shard/checkpoint friendly.
+Weights live packed INT4 in HBM end to end.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..layers.kv_cache import QuantizedKVCache
+from ..layers.linear import QuantizedLinear
+from ..layers.moe import (
+    MoEINT4,
+    combine,
+    dispatch,
+    make_dispatch_plan,
+    topk_route,
+)
+from .config import ModelConfig
+
+__all__ = ["QuantizedTransformer", "TransformerBlock", "MoEBlock", "Attention"]
+
+
+# ---------------------------------------------------------------------------
+# Small pieces
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jnp.ndarray, gamma: jnp.ndarray, eps: float) -> jnp.ndarray:
+    var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    return (x.astype(jnp.float32) * jax.lax.rsqrt(var + eps)).astype(x.dtype) * gamma
+
+
+def rotary_embedding(x: jnp.ndarray, positions: jnp.ndarray, theta: float):
+    """RoPE over [..., T, D] with positions [T] (half-split convention)."""
+    d = x.shape[-1]
+    half = d // 2
+    freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    angles = positions[:, None].astype(jnp.float32) * freqs[None, :]  # [T, half]
+    cos, sin = jnp.cos(angles), jnp.sin(angles)
+    x1, x2 = x[..., :half], x[..., half:]
+    out = jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    )
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Attention (GQA + INT4 KV cache)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Attention:
+    wq: QuantizedLinear
+    wk: QuantizedLinear
+    wv: QuantizedLinear
+    wo: QuantizedLinear
+    num_heads: int = dataclasses.field(metadata=dict(static=True))
+    num_kv_heads: int = dataclasses.field(metadata=dict(static=True))
+    head_dim: int = dataclasses.field(metadata=dict(static=True))
+    rope_theta: float = dataclasses.field(metadata=dict(static=True))
+
+    @classmethod
+    def init(cls, key, cfg: ModelConfig, hidden: int):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        hd, nh, nkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
+        return cls(
+            wq=QuantizedLinear.init(k1, hidden, nh * hd),
+            wk=QuantizedLinear.init(k2, hidden, nkv * hd),
+            wv=QuantizedLinear.init(k3, hidden, nkv * hd),
+            wo=QuantizedLinear.init(k4, nh * hd, hidden),
+            num_heads=nh, num_kv_heads=nkv, head_dim=hd,
+            rope_theta=cfg.rope_theta,
+        )
+
+    def __call__(
+        self,
+        x: jnp.ndarray,                  # [B, T, H]
+        cache: QuantizedKVCache,
+        positions: jnp.ndarray,          # [T]
+    ) -> Tuple[jnp.ndarray, QuantizedKVCache]:
+        b, t, _ = x.shape
+        nh, nkv, hd = self.num_heads, self.num_kv_heads, self.head_dim
+
+        q = self.wq(x).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+        k = self.wk(x).reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
+        v = self.wv(x).reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
+
+        q = rotary_embedding(q, positions, self.rope_theta)
+        k = rotary_embedding(k, positions, self.rope_theta)
+
+        cache = cache.append(k, v)
+        kd, vd = cache.dequantize(dtype=q.dtype)  # [B, nkv, S, D]
+
+        # GQA: repeat kv heads to match query heads.
+        rep = nh // nkv
+        kd = jnp.repeat(kd, rep, axis=1)
+        vd = jnp.repeat(vd, rep, axis=1)
+
+        scores = jnp.einsum("bhtd,bhsd->bhts", q, kd) / jnp.sqrt(float(hd))
+        s_max = cache.max_seq
+        span = jnp.arange(s_max)[None, :]
+        causal = span <= positions[:, None]          # [T, S]
+        filled = span < cache.length                  # [1, S]
+        mask = causal & filled
+        scores = jnp.where(mask[None, None], scores.astype(jnp.float32), -1e30)
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhts,bhsd->bhtd", probs, vd)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, nh * hd)
+        return self.wo(out), cache
+
+
+# ---------------------------------------------------------------------------
+# MoE block (SwiGLU experts on the grouped INT4 kernel)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MoEBlock:
+    router: QuantizedLinear          # hidden -> num_experts (gate)
+    w_gate: MoEINT4                  # [E, ffn, hidden]
+    w_up: MoEINT4                    # [E, ffn, hidden]
+    w_down: MoEINT4                  # [E, hidden, ffn]
+    num_experts: int = dataclasses.field(metadata=dict(static=True))
+    top_k: int = dataclasses.field(metadata=dict(static=True))
+    tile_m: int = dataclasses.field(metadata=dict(static=True), default=16)
+
+    @classmethod
+    def init(cls, key, num_experts, hidden, ffn, top_k, tile_m=16):
+        k0, k1, k2, k3 = jax.random.split(key, 4)
+        mk = lambda kk, n, k_: MoEINT4.from_dense(  # noqa: E731
+            jax.random.normal(kk, (num_experts, n, k_), jnp.float32) * (k_ ** -0.5)
+        )
+        return cls(
+            router=QuantizedLinear.init(k0, hidden, num_experts),
+            w_gate=mk(k1, ffn, hidden),
+            w_up=mk(k2, ffn, hidden),
+            w_down=mk(k3, hidden, ffn),
+            num_experts=num_experts, top_k=top_k, tile_m=tile_m,
+        )
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, T, H]
+        b, t, h = x.shape
+        xf = x.reshape(b * t, h)
+        routing = topk_route(self.router(xf), self.top_k, self.num_experts)
+        plan = make_dispatch_plan(routing, self.num_experts, tile_m=self.tile_m)
+        xs = dispatch(xf, routing, plan)               # [T_pad, H]
+        g = self.w_gate(xs, plan.tile_group_ids, tile_m=self.tile_m)
+        u = self.w_up(xs, plan.tile_group_ids, tile_m=self.tile_m)
+        hsw = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(
+            xs.dtype
+        )
+        d = self.w_down(hsw, plan.tile_group_ids, tile_m=self.tile_m)
+        y = combine(d, routing, plan)
+        return y.reshape(b, t, h)
+
+
+# ---------------------------------------------------------------------------
+# Full model
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TransformerBlock:
+    attn_norm: jnp.ndarray
+    attn: Attention
+    moe_norm: jnp.ndarray
+    moe: MoEBlock
+    rms_eps: float = dataclasses.field(metadata=dict(static=True))
+
+    def __call__(self, x, cache, positions):
+        h, cache = self.attn(rms_norm(x, self.attn_norm, self.rms_eps), cache, positions)
+        x = x + h
+        x = x + self.moe(rms_norm(x, self.moe_norm, self.rms_eps))
+        return x, cache
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class QuantizedTransformer:
+    """INT4 weight-only Mixtral-style decoder."""
+
+    embed: jnp.ndarray              # [V, H] bf16 (unquantized, tied none)
+    blocks: Tuple[TransformerBlock, ...]
+    final_norm: jnp.ndarray
+    lm_head: QuantizedLinear
+    rms_eps: float = dataclasses.field(metadata=dict(static=True))
+
+    @classmethod
+    def init(cls, key, cfg: ModelConfig, dtype=jnp.bfloat16):
+        hidden = cfg.num_heads * cfg.head_dim
+        keys = jax.random.split(key, cfg.num_layers + 2)
+        blocks = []
+        for i in range(cfg.num_layers):
+            ka, km = jax.random.split(keys[i])
+            blocks.append(
+                TransformerBlock(
+                    attn_norm=jnp.ones((hidden,), dtype),
+                    attn=Attention.init(ka, cfg, hidden),
+                    moe_norm=jnp.ones((hidden,), dtype),
+                    moe=MoEBlock.init(
+                        km, cfg.moe.num_experts, hidden, cfg.moe.ffn_dim,
+                        cfg.moe.top_k,
+                    ),
+                    rms_eps=cfg.rms_eps,
+                )
+            )
+        embed = (
+            jax.random.normal(keys[-2], (cfg.vocab_size, hidden), jnp.float32) * 0.02
+        ).astype(dtype)
+        return cls(
+            embed=embed,
+            blocks=tuple(blocks),
+            final_norm=jnp.ones((hidden,), dtype),
+            lm_head=QuantizedLinear.init(keys[-1], hidden, cfg.vocab_size),
+            rms_eps=cfg.rms_eps,
+        )
+
+    def init_cache(self, cfg: ModelConfig, batch: int, max_seq: int):
+        return tuple(
+            QuantizedKVCache.init(batch, cfg.num_kv_heads, max_seq, cfg.head_dim)
+            for _ in range(len(self.blocks))
+        )
+
+    def __call__(
+        self,
+        tokens: jnp.ndarray,        # [B, T] i32
+        caches,                     # tuple of per-layer QuantizedKVCache
+        positions: jnp.ndarray,     # [T] i32
+    ):
+        x = self.embed[tokens]
+        new_caches = []
+        for blk, cache in zip(self.blocks, caches):
+            x, cache = blk(x, cache, positions)
+            new_caches.append(cache)
+        x = rms_norm(x, self.final_norm, self.rms_eps)
+        logits = self.lm_head(x)
+        return logits, tuple(new_caches)
+
+    @property
+    def nbytes(self) -> int:
+        return sum(
+            a.size * a.dtype.itemsize for a in jax.tree_util.tree_leaves(self)
+        )

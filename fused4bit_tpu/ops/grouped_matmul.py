@@ -1,0 +1,235 @@
+"""Ragged grouped INT4 GEMM Pallas kernel (MoE expert compute).
+
+TPU-native re-design of the reference's fused MoE CUDA kernel
+(`/root/reference/csrc/moe_int4_kernel.cu:17-136`). The reference launches one
+thread block per expert from a host loop with a `.item()` device sync per
+expert (`...cu:112-132`) — and is incorrect for ffn_dim > 256 or multi-token
+groups (SURVEY.md §2.1). This kernel implements the *intended* semantics —
+``out[t] = x[t] @ dequant(W[expert_of(t)])^T`` over variable-size,
+tile-aligned token groups — as a single Pallas launch:
+
+* Tokens arrive sorted by expert with every group padded to a multiple of
+  ``tile_m`` (padding rows are zero, so their outputs are exactly zero under
+  the centered-dot formulation). The dispatch that produces this layout is
+  pure JAX (`fused4bit_tpu.layers.moe.dispatch`).
+* A scalar-prefetched ``tile_group_ids`` array maps each m-tile to its expert
+  (`pltpu.PrefetchScalarGridSpec`); the weight BlockSpec index_map selects
+  that expert's INT4-packed block, so no host loop, no per-expert sync, and
+  all (m-tile, n-tile) pairs pipeline through one grid — the reference's
+  one-block-per-expert serialization (<= E blocks busy) becomes full-chip
+  utilization.
+* The dequant math is identical to the linear kernel
+  (`fused4bit_tpu.ops.int4_matmul`): planar packing, u8-mask unpack,
+  i8->float converts, zero-point pre-subtract, per-row scale post-dot.
+
+Weights: stacked per-expert, per-row quantized, planar layout —
+``packed [E, N, K/2] u8``, ``scales/zero_points [E, N] f32``.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..quant.core import QuantizedTensor
+
+__all__ = ["grouped_int4_matmul"]
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(x: int, m: int) -> int:
+    return _cdiv(x, m) * m
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _grouped_kernel(
+    gid_ref,      # [num_tiles] i32 (scalar prefetch): m-tile -> expert id
+    x_ref,        # [TM, K]
+    w_ref,        # [1, TN, K/2] u8 planar (this tile's expert)
+    s_ref,        # [1, 1, TN] f32
+    z_ref,        # [1, 1, TN] f32
+    o_ref,        # [TM, TN]
+    *,
+    k_half: int,
+    compute_dtype,
+):
+    p = w_ref[0]
+    zp_col = z_ref[0, 0, :][:, None].astype(compute_dtype)
+    qlo = (p & 0x0F).astype(jnp.int8).astype(compute_dtype) - zp_col
+    vhi = (p & 0xF0).astype(jnp.int8).astype(compute_dtype) - 16.0 * (
+        zp_col - 8.0
+    ).astype(compute_dtype)
+
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    x_lo = x_ref[:, :k_half].astype(compute_dtype)
+    x_hi = x_ref[:, k_half:].astype(compute_dtype)
+    dims = (((1,), (1,)), ((), ()))
+    acc = jax.lax.dot_general(
+        x_lo, qlo, dims, preferred_element_type=jnp.float32, precision=prec
+    ) + 0.0625 * jax.lax.dot_general(
+        x_hi, vhi, dims, preferred_element_type=jnp.float32, precision=prec
+    )
+    o_ref[:] = (s_ref[0, 0, :][None, :] * acc).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "tile_m", "tile_n", "compute_dtype", "out_dtype", "interpret", "m_inner"
+    ),
+)
+def _grouped_padded(
+    x_sorted, tile_group_ids, packed, scales, zps,
+    *, tile_m, tile_n, compute_dtype, out_dtype, interpret, m_inner,
+):
+    t_pad, k = x_sorted.shape
+    e, n, k_half = packed.shape
+    num_tiles = t_pad // tile_m
+
+    kernel = functools.partial(
+        _grouped_kernel, k_half=k_half, compute_dtype=compute_dtype
+    )
+
+    # Grid-order heuristic: with m-tiles *innermost* (decode), consecutive
+    # tiles of the same expert map to the same weight block, so the Pallas
+    # pipeline fetches each expert's weights exactly once — the memory-bound
+    # optimum. With n-tiles innermost (prefill), the x tile is re-fetched per
+    # n step instead, which is cheaper once T_pad is large.
+    if m_inner:
+        grid = (n // tile_n, num_tiles)
+        mi = lambda j, i, g: i  # noqa: E731
+        ni = lambda j, i, g: j  # noqa: E731
+    else:
+        grid = (num_tiles, n // tile_n)
+        mi = lambda i, j, g: i  # noqa: E731
+        ni = lambda i, j, g: j  # noqa: E731
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (tile_m, k),
+                lambda *a: (mi(*a), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_n, k_half),
+                lambda *a: (a[-1][mi(*a)], ni(*a), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, tile_n),
+                lambda *a: (a[-1][mi(*a)], 0, ni(*a)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, tile_n),
+                lambda *a: (a[-1][mi(*a)], 0, ni(*a)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_m, tile_n),
+            lambda *a: (mi(*a), ni(*a)),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+
+    flops = 2 * t_pad * n * k
+    bytes_accessed = (
+        x_sorted.size * x_sorted.dtype.itemsize
+        + num_tiles * tile_n * k_half
+        + t_pad * n * 4
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t_pad, n), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(tile_group_ids, x_sorted, packed, scales[:, None, :], zps[:, None, :])
+
+
+def grouped_int4_matmul(
+    x_sorted: jnp.ndarray,
+    tile_group_ids: jnp.ndarray,
+    qt: QuantizedTensor,
+    *,
+    tile_m: int = 64,
+    tile_n: Optional[int] = None,
+    compute_dtype=None,
+    out_dtype=None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Grouped ``x @ dequant(W[g])^T`` over tile-aligned token groups.
+
+    Args:
+      x_sorted: [T_pad, K] tokens sorted by expert; each expert's group is
+        padded with zero rows to a multiple of ``tile_m`` (T_pad static).
+      tile_group_ids: [T_pad // tile_m] i32 — expert id of each m-tile.
+      qt: stacked per-expert weights [E, N, K], per_row, planar layout.
+    Returns [T_pad, N].
+    """
+    if qt.granularity != "per_row":
+        raise NotImplementedError("grouped kernel requires per_row scales")
+    if qt.layout != "planar":
+        raise ValueError("grouped kernel requires the planar layout")
+    if len(qt.shape) != 3:
+        raise ValueError(f"expected stacked [E, N, K] weights, got {qt.shape}")
+
+    e, n, k = qt.shape
+    t_pad = x_sorted.shape[0]
+    if x_sorted.shape[1] != k:
+        raise ValueError(f"x K={x_sorted.shape[1]} != weight K={k}")
+    if t_pad % tile_m != 0:
+        raise ValueError(f"T_pad={t_pad} not a multiple of tile_m={tile_m}")
+    if interpret is None:
+        interpret = not _on_tpu()
+    if compute_dtype is None:
+        compute_dtype = (
+            jnp.float32 if x_sorted.dtype == jnp.float32 else jnp.bfloat16
+        )
+    if out_dtype is None:
+        out_dtype = x_sorted.dtype
+
+    tn = tile_n or min(512, _round_up(n, 128))
+    n_pad = _round_up(n, tn)
+    packed, scales, zps = qt.packed, qt.scales, qt.zero_points
+    if n_pad != n:
+        packed = jnp.pad(packed, ((0, 0), (0, n_pad - n), (0, 0)))
+        scales = jnp.pad(scales, ((0, 0), (0, n_pad - n)))
+        zps = jnp.pad(zps, ((0, 0), (0, n_pad - n)))
+
+    # Decode (small token count): weight traffic dominates -> m innermost.
+    x_bytes_per_nsweep = t_pad * k * x_sorted.dtype.itemsize
+    m_inner = x_bytes_per_nsweep * (n_pad // tn) <= qt.packed.size
+
+    out = _grouped_padded(
+        x_sorted, tile_group_ids.astype(jnp.int32), packed,
+        scales.astype(jnp.float32), zps.astype(jnp.float32),
+        tile_m=tile_m, tile_n=tn,
+        compute_dtype=compute_dtype, out_dtype=out_dtype, interpret=interpret,
+        m_inner=m_inner,
+    )
+    return out[:, :n]

@@ -1,0 +1,144 @@
+"""Model-level tests: KV cache, attention, MoE block, full decode steps."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fused4bit_tpu.layers.kv_cache import QuantizedKVCache, dequantize_kv, quantize_kv
+from fused4bit_tpu.models.config import flagship_model_config
+from fused4bit_tpu.models.transformer import QuantizedTransformer, rms_norm, rotary_embedding
+
+
+class TestKVCache:
+    def test_quantize_roundtrip(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 3, 5, 64)), jnp.float32)
+        p, s, z = quantize_kv(x)
+        x2 = dequantize_kv(p, s, z)
+        assert jnp.max(jnp.abs(x2 - x)) < 0.5
+
+    def test_append_and_dequantize(self, rng):
+        cache = QuantizedKVCache.init(batch=2, num_kv_heads=2, max_seq=16, head_dim=64)
+        k1 = jnp.asarray(rng.standard_normal((2, 2, 4, 64)), jnp.float32)
+        v1 = jnp.asarray(rng.standard_normal((2, 2, 4, 64)), jnp.float32)
+        cache = cache.append(k1, v1)
+        assert int(cache.length) == 4
+        k2 = jnp.asarray(rng.standard_normal((2, 2, 1, 64)), jnp.float32)
+        cache = cache.append(k2, k2)
+        assert int(cache.length) == 5
+        kd, vd = cache.dequantize(jnp.float32)
+        np.testing.assert_allclose(np.asarray(kd[:, :, :4]), np.asarray(k1), atol=0.5)
+        np.testing.assert_allclose(np.asarray(kd[:, :, 4:5]), np.asarray(k2), atol=0.5)
+
+    def test_memory_8x_vs_bf16_at_scale(self):
+        # INT4 + per-vector scale/zp vs f32 cache: README.md:112 claims 8x vs
+        # fp32 (4-bit + 8B overhead per 128-dim vector ≈ 7.5x+).
+        cache = QuantizedKVCache.init(1, 8, 4096, 128)
+        dense_f32 = 2 * 8 * 4096 * 128 * 4
+        assert dense_f32 / cache.nbytes >= 7.0
+
+    def test_append_jits(self, rng):
+        cache = QuantizedKVCache.init(1, 2, 8, 64)
+        k = jnp.asarray(rng.standard_normal((1, 2, 1, 64)), jnp.float32)
+
+        @jax.jit
+        def step(c, k):
+            return c.append(k, k)
+
+        c2 = step(cache, k)
+        assert int(c2.length) == 1
+
+
+class TestPieces:
+    def test_rms_norm(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 3, 16)), jnp.float32)
+        g = jnp.ones((16,), jnp.float32)
+        y = rms_norm(x, g, 1e-5)
+        rms = jnp.sqrt(jnp.mean(jnp.square(y), axis=-1))
+        np.testing.assert_allclose(np.asarray(rms), 1.0, atol=1e-2)
+
+    def test_rope_preserves_norm_and_relativity(self, rng):
+        x = jnp.asarray(rng.standard_normal((1, 1, 4, 64)), jnp.float32)
+        pos = jnp.arange(4)
+        y = rotary_embedding(x, pos, 1e4)
+        np.testing.assert_allclose(
+            np.asarray(jnp.linalg.norm(y, axis=-1)),
+            np.asarray(jnp.linalg.norm(x, axis=-1)),
+            rtol=1e-5,
+        )
+        # position 0 is identity
+        np.testing.assert_allclose(np.asarray(y[..., 0, :]), np.asarray(x[..., 0, :]), atol=1e-6)
+
+
+class TestModel:
+    @pytest.fixture(scope="class")
+    def model(self):
+        cfg = flagship_model_config("tiny")
+        model = QuantizedTransformer.init(jax.random.PRNGKey(0), cfg)
+        return cfg, model
+
+    def test_prefill_shapes(self, model):
+        cfg, m = model
+        b, t = 2, 8
+        caches = m.init_cache(cfg, b, max_seq=32)
+        tokens = jnp.zeros((b, t), jnp.int32)
+        logits, caches = m(tokens, caches, jnp.arange(t))
+        assert logits.shape == (b, t, cfg.vocab_size)
+        assert int(caches[0].length) == t
+        assert not bool(jnp.any(jnp.isnan(logits)))
+
+    def test_decode_step_after_prefill(self, model):
+        cfg, m = model
+        b = 2
+        caches = m.init_cache(cfg, b, max_seq=32)
+        tokens = jnp.asarray(np.arange(b * 8).reshape(b, 8) % cfg.vocab_size, jnp.int32)
+        logits, caches = m(tokens, caches, jnp.arange(8))
+        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[:, None]
+        logits2, caches = m(nxt, caches, jnp.asarray([8]))
+        assert logits2.shape == (b, 1, cfg.vocab_size)
+        assert int(caches[0].length) == 9
+
+    def test_decode_consistent_with_full_forward(self, model):
+        """Prefill+decode must match a single full forward (cache correctness),
+        within INT4-KV quantization tolerance."""
+        cfg, m = model
+        b, t = 1, 6
+        toks = jnp.asarray(np.arange(t)[None] % cfg.vocab_size, jnp.int32)
+        # full forward
+        caches = m.init_cache(cfg, b, max_seq=16)
+        full_logits, _ = m(toks, caches, jnp.arange(t))
+        # incremental
+        caches = m.init_cache(cfg, b, max_seq=16)
+        outs = []
+        for i in range(t):
+            lg, caches = m(toks[:, i : i + 1], caches, jnp.asarray([i]))
+            outs.append(lg)
+        inc_logits = jnp.concatenate(outs, axis=1)
+        # INT4 KV quantization is identical in both paths; only accumulation
+        # order differs -> tight tolerance.
+        np.testing.assert_allclose(
+            np.asarray(full_logits, np.float32),
+            np.asarray(inc_logits, np.float32),
+            atol=0.1, rtol=0.1,
+        )
+
+    def test_model_is_int4_resident(self, model):
+        cfg, m = model
+        hidden = cfg.num_heads * cfg.head_dim
+        # expert weights dominate; check total bytes are far below bf16 size
+        dense_expert_bytes = (
+            cfg.num_layers * cfg.moe.num_experts * 3 * hidden * cfg.moe.ffn_dim * 2
+        )
+        leaves = jax.tree_util.tree_leaves(m)
+        total = sum(a.size * a.dtype.itemsize for a in leaves)
+        assert total < dense_expert_bytes  # int4 + embed < bf16 experts alone
+
+    def test_model_jits(self, model):
+        cfg, m = model
+        caches = m.init_cache(cfg, 1, max_seq=16)
+
+        @jax.jit
+        def step(m, tokens, caches, pos):
+            return m(tokens, caches, pos)
+
+        logits, caches = step(m, jnp.zeros((1, 1), jnp.int32), caches, jnp.asarray([0]))
+        assert logits.shape == (1, 1, cfg.vocab_size)
