@@ -1,0 +1,276 @@
+"""Expert-parallel and tensor-parallel MoE/linear execution (shard_map).
+
+The scale-out capability the reference only aspires to ("Multi-GPU MoE",
+`/root/reference/README.md:115-118`; SURVEY.md §2.5). Design per the
+BASELINE.json north star: experts sharded over a mesh `expert` axis with
+token exchange over ICI, TP-sharded linears over `model`, compiled by XLA —
+no hand-written communication backend.
+
+Two EP strategies, both jit/static-shape friendly:
+
+* ``moe_ep_replicated`` — tokens replicated over the expert axis; each device
+  runs the grouped INT4 kernel for *its local experts only* and the partial
+  weighted outputs are ``psum``-combined. Dropless, no all_to_all, and for
+  decode (few tokens, weight-streaming bound) near-optimal: the 1/D weight
+  slice per device is exactly the bandwidth split that matters.
+
+* ``moe_ep_a2a`` — tokens data-sharded; each device routes its local tokens,
+  packs per-destination-device capacity buffers, exchanges them with
+  ``all_to_all`` over the expert axis, runs its local grouped GEMM, and
+  returns results with a second ``all_to_all``. Classic capacity-factor MoE
+  (tokens beyond capacity drop — standard Switch/GShard semantics); use for
+  large-batch prefill where duplicating tokens would swamp ICI.
+
+Tensor parallelism: ``tp_int4_matmul`` runs the fused kernel on a
+column-sharded QuantizedTensor under shard_map and all-gathers the output.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..layers.moe import (
+    RoutingResult,
+    combine,
+    dispatch,
+    make_dispatch_plan,
+    topk_route,
+)
+from ..ops.grouped_matmul import grouped_int4_matmul
+from ..ops.int4_matmul import int4_matmul
+from ..quant.core import QuantizedTensor
+
+__all__ = ["moe_ep_replicated", "moe_ep_a2a", "tp_int4_matmul"]
+
+
+def _qt_local(qt: QuantizedTensor, packed, scales, zps, num_local: int):
+    """Rebuild a QuantizedTensor view for the local expert shard."""
+    return QuantizedTensor(
+        packed=packed, scales=scales, zero_points=zps,
+        shape=(num_local,) + qt.shape[1:],
+        granularity=qt.granularity, layout=qt.layout,
+        block_k=qt.block_k, group_size=qt.group_size, bits=qt.bits,
+    )
+
+
+# ---------------------------------------------------------------------------
+# EP strategy 1: replicated tokens, sharded experts, psum combine
+# ---------------------------------------------------------------------------
+
+
+def moe_ep_replicated(
+    x: jnp.ndarray,            # [T, H], replicated over the expert axis
+    router_logits: jnp.ndarray,  # [T, E], replicated
+    qt: QuantizedTensor,       # stacked [E, N, K], sharded over axis 0
+    mesh: Mesh,
+    *,
+    top_k: int,
+    axis: str = "expert",
+    tile_m: int = 16,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Dropless EP MoE: every device keeps all tokens, computes only its
+    experts' contributions, and psums. Returns [T, N] replicated."""
+    e = qt.shape[0]
+    n_dev = mesh.shape[axis]
+    e_local = e // n_dev
+    if e_local * n_dev != e:
+        raise ValueError(f"num_experts={e} not divisible by mesh axis {n_dev}")
+
+    def body(xb, logits, packed, scales, zps):
+        dev = jax.lax.axis_index(axis)
+        lo = dev * e_local
+        routing = topk_route(logits, top_k, e)
+        # Keep only pairs routed to my experts: remap to local ids; foreign
+        # pairs point at local expert 0 with weight 0 (their rows still flow
+        # through the kernel but contribute nothing after weighting).
+        local_ids = routing.expert_indices - lo
+        mine = (local_ids >= 0) & (local_ids < e_local)
+        local_ids = jnp.where(mine, local_ids, 0).astype(jnp.int32)
+        weights = jnp.where(mine, routing.expert_weights, 0.0)
+        tpe = jnp.bincount(local_ids.reshape(-1), length=e_local).astype(jnp.int32)
+        offsets = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(tpe)]
+        ).astype(jnp.int32)
+        local_routing = RoutingResult(local_ids, weights, tpe, offsets)
+
+        plan = make_dispatch_plan(local_routing, e_local, tile_m=tile_m)
+        xs = dispatch(xb, local_routing, plan)
+        qt_loc = _qt_local(qt, packed, scales, zps, e_local)
+        y = grouped_int4_matmul(
+            xs, plan.tile_group_ids, qt_loc, tile_m=tile_m, interpret=interpret
+        )
+        part = combine(y, local_routing, plan)  # [T, N] partial
+        return jax.lax.psum(part, axis)
+
+    specs_in = (
+        P(), P(),
+        P(axis, None, None), P(axis, None), P(axis, None),
+    )
+    return shard_map(
+        body, mesh=mesh, in_specs=specs_in, out_specs=P(), check_rep=False,
+    )(x, router_logits, qt.packed, qt.scales, qt.zero_points)
+
+
+# ---------------------------------------------------------------------------
+# EP strategy 2: data-sharded tokens, all_to_all exchange, capacity buffers
+# ---------------------------------------------------------------------------
+
+
+def moe_ep_a2a(
+    x: jnp.ndarray,             # [T, H], sharded over the expert axis (dim 0)
+    router_logits: jnp.ndarray,  # [T, E], sharded likewise
+    qt: QuantizedTensor,        # stacked [E, N, K], sharded over axis 0
+    mesh: Mesh,
+    *,
+    top_k: int,
+    axis: str = "expert",
+    capacity_factor: float = 2.0,
+    tile_m: int = 16,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Capacity-factor EP MoE with all_to_all token exchange.
+
+    Per device: route local tokens, pack a [n_dev, C, H] send buffer (C =
+    static per-destination capacity), all_to_all over ICI, grouped GEMM on
+    local experts, all_to_all back, weighted combine. Tokens beyond capacity
+    are dropped (Switch/GShard semantics). Returns [T, N] sharded like x.
+    """
+    e = qt.shape[0]
+    n_dev = mesh.shape[axis]
+    e_local = e // n_dev
+    if e_local * n_dev != e:
+        raise ValueError(f"num_experts={e} not divisible by mesh axis {n_dev}")
+
+    def body(xb, logits, packed, scales, zps):
+        t_loc, h = xb.shape
+        cap = max(int(capacity_factor * t_loc * top_k / n_dev), tile_m)
+        cap = -(-cap // tile_m) * tile_m  # tile-align
+
+        routing = topk_route(logits, top_k, e)
+        flat_ids = routing.expert_indices.reshape(-1)          # [T*k]
+        dest_dev = flat_ids // e_local                          # [T*k]
+        # slot of each pair within its destination buffer (rank among pairs
+        # with the same destination, in flat order)
+        onehot = jax.nn.one_hot(dest_dev, n_dev, dtype=jnp.int32)  # [T*k, D]
+        rank = jnp.cumsum(onehot, axis=0) - onehot                 # exclusive
+        slot = jnp.take_along_axis(rank, dest_dev[:, None], axis=1)[:, 0]
+        keep = slot < cap
+
+        # send buffers: tokens + their (local) expert id travel together
+        xrep = jnp.repeat(xb, top_k, axis=0)                    # [T*k, H]
+        send_x = jnp.zeros((n_dev, cap, h), xb.dtype)
+        send_eid = jnp.full((n_dev, cap), -1, jnp.int32)
+        # Dropped pairs index out of bounds (slot=cap) so mode="drop" discards
+        # them instead of clobbering the last in-bounds slot.
+        idx = (dest_dev, jnp.where(keep, slot, cap))
+        send_x = send_x.at[idx[0], idx[1]].set(xrep, mode="drop")
+        send_eid = send_eid.at[idx[0], idx[1]].set(
+            (flat_ids % e_local).astype(jnp.int32), mode="drop"
+        )
+
+        # exchange over ICI
+        recv_x = jax.lax.all_to_all(send_x, axis, 0, 0, tiled=False)
+        recv_eid = jax.lax.all_to_all(send_eid, axis, 0, 0, tiled=False)
+        recv_x = recv_x.reshape(n_dev * cap, h)
+        recv_eid = recv_eid.reshape(n_dev * cap)
+
+        # local grouped GEMM over my experts: sort received rows by expert
+        valid = recv_eid >= 0
+        eid = jnp.where(valid, recv_eid, 0)
+        tpe = jnp.bincount(
+            jnp.where(valid, recv_eid, e_local), length=e_local + 1
+        )[:e_local].astype(jnp.int32)
+        offsets = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(tpe)]
+        ).astype(jnp.int32)
+        # Reuse the dispatch plan machinery with a synthetic top-1 routing of
+        # the received rows; invalid rows route to expert 0 with zero data.
+        rt = RoutingResult(
+            expert_indices=jnp.where(valid, eid, 0)[:, None].astype(jnp.int32),
+            expert_weights=jnp.ones((recv_x.shape[0], 1), jnp.float32),
+            tokens_per_expert=jnp.bincount(
+                jnp.where(valid, eid, 0).astype(jnp.int32), length=e_local
+            ).astype(jnp.int32),
+            expert_token_offsets=None,  # rebuilt below
+        )
+        tpe_all = rt.tokens_per_expert
+        rt = RoutingResult(
+            rt.expert_indices, rt.expert_weights, tpe_all,
+            jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(tpe_all)]
+            ).astype(jnp.int32),
+        )
+        plan = make_dispatch_plan(rt, e_local, tile_m=tile_m)
+        xs = dispatch(jnp.where(valid[:, None], recv_x, 0.0), rt, plan)
+        qt_loc = _qt_local(qt, packed, scales, zps, e_local)
+        y = grouped_int4_matmul(
+            xs, plan.tile_group_ids, qt_loc, tile_m=tile_m, interpret=interpret
+        )
+        y_rows = y[plan.rows]  # back to recv order [n_dev*cap, N]
+        y_rows = jnp.where(valid[:, None], y_rows, 0.0)
+
+        # return trip
+        y_send = y_rows.reshape(n_dev, cap, -1)
+        y_recv = jax.lax.all_to_all(y_send, axis, 0, 0, tiled=False)
+        # gather my pairs' results from [n_dev, cap, N] by (dest_dev, slot)
+        per_pair = y_recv[dest_dev, jnp.clip(slot, 0, cap - 1)]
+        per_pair = jnp.where(keep[:, None], per_pair, 0.0)
+        per_pair = per_pair.reshape(t_loc, top_k, -1)
+        w = routing.expert_weights.astype(per_pair.dtype)[..., None]
+        return jnp.sum(per_pair * w, axis=1)
+
+    specs_in = (
+        P(axis, None), P(axis, None),
+        P(axis, None, None), P(axis, None), P(axis, None),
+    )
+    return shard_map(
+        body, mesh=mesh, in_specs=specs_in, out_specs=P(axis, None),
+        check_rep=False,
+    )(x, router_logits, qt.packed, qt.scales, qt.zero_points)
+
+
+# ---------------------------------------------------------------------------
+# Tensor parallelism for the fused linear kernel
+# ---------------------------------------------------------------------------
+
+
+def tp_int4_matmul(
+    x: jnp.ndarray,            # [..., K], replicated over `axis`
+    qt: QuantizedTensor,       # [N, K], sharded over N on `axis`
+    mesh: Mesh,
+    *,
+    axis: str = "model",
+    gather_output: bool = True,
+    interpret: Optional[bool] = None,
+):
+    """Column-parallel fused INT4 linear: each device computes its N-shard
+    with the Pallas kernel; optionally all-gather to the full [.., N]."""
+    n = qt.out_dim
+    n_dev = mesh.shape[axis]
+    if n % n_dev != 0:
+        raise ValueError(f"N={n} not divisible by mesh axis {n_dev}")
+
+    def body(xb, packed, scales, zps):
+        qt_loc = QuantizedTensor(
+            packed=packed, scales=scales, zero_points=zps,
+            shape=(n // n_dev, qt.in_dim),
+            granularity=qt.granularity, layout=qt.layout,
+            block_k=qt.block_k, group_size=qt.group_size, bits=qt.bits,
+        )
+        y = int4_matmul(xb, qt_loc, interpret=interpret)
+        if gather_output:
+            y = jax.lax.all_gather(y, axis, axis=y.ndim - 1, tiled=True)
+        return y
+
+    out_spec = P() if gather_output else P(*([None] * (x.ndim - 1) + [axis]))
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis), P(axis)),
+        out_specs=out_spec, check_rep=False,
+    )(x, qt.packed, qt.scales, qt.zero_points)
