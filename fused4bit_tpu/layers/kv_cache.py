@@ -56,7 +56,12 @@ def dequantize_kv(packed, scale, zp, dtype=jnp.float32) -> jnp.ndarray:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class QuantizedKVCache:
-    """Per-layer INT4 KV cache with static capacity."""
+    """Per-layer INT4 KV cache with static capacity and per-slot lengths.
+
+    Per-slot ``lengths`` (rather than one scalar) is what continuous batching
+    needs: every batch slot advances independently as requests of different
+    lengths come and go (`fused4bit_tpu.serving.engine`).
+    """
 
     k_packed: jnp.ndarray   # [B, H, S, D/2] u8
     v_packed: jnp.ndarray
@@ -64,13 +69,13 @@ class QuantizedKVCache:
     k_zp: jnp.ndarray
     v_scale: jnp.ndarray
     v_zp: jnp.ndarray
-    length: jnp.ndarray     # [] i32 — filled positions
+    lengths: jnp.ndarray    # [B] i32 — filled positions per slot
 
     @classmethod
     def init(cls, batch: int, num_kv_heads: int, max_seq: int, head_dim: int):
         z8 = jnp.zeros((batch, num_kv_heads, max_seq, head_dim // 2), jnp.uint8)
         zf = jnp.zeros((batch, num_kv_heads, max_seq), jnp.float32)
-        return cls(z8, z8, zf, zf, zf, zf, jnp.zeros((), jnp.int32))
+        return cls(z8, z8, zf, zf, zf, zf, jnp.zeros((batch,), jnp.int32))
 
     @property
     def max_seq(self) -> int:
@@ -79,6 +84,11 @@ class QuantizedKVCache:
     @property
     def head_dim(self) -> int:
         return self.k_packed.shape[3] * 2
+
+    @property
+    def length(self) -> jnp.ndarray:
+        """Scalar length when all slots are in lockstep (simple decode)."""
+        return jnp.max(self.lengths)
 
     @property
     def nbytes(self) -> int:
@@ -90,18 +100,28 @@ class QuantizedKVCache:
             )
         )
 
-    def append(self, k: jnp.ndarray, v: jnp.ndarray) -> "QuantizedKVCache":
-        """Quantize + insert new steps.  k, v: [B, H, T_new, D]."""
+    def append(self, k: jnp.ndarray, v: jnp.ndarray, start=None) -> "QuantizedKVCache":
+        """Quantize + insert new steps.
+
+        k, v: [B, H, T_new, D]; each batch row b is written at positions
+        [start[b], start[b]+T_new) — ``start`` defaults to the row's current
+        length (plain append).
+        """
         t_new = k.shape[2]
         kp, ks, kz = quantize_kv(k)
         vp, vs, vz = quantize_kv(v)
-        at = self.length
+        start = self.lengths if start is None else start
 
         def upd4(buf, val):
-            return jax.lax.dynamic_update_slice(buf, val, (0, 0, at, 0))
+            # vmap a per-row dynamic_update_slice over the batch dim.
+            return jax.vmap(
+                lambda b, v_, s: jax.lax.dynamic_update_slice(b, v_, (0, s, 0))
+            )(buf, val, start)
 
         def upd3(buf, val):
-            return jax.lax.dynamic_update_slice(buf, val, (0, 0, at))
+            return jax.vmap(
+                lambda b, v_, s: jax.lax.dynamic_update_slice(b, v_, (0, s))
+            )(buf, val, start)
 
         return QuantizedKVCache(
             k_packed=upd4(self.k_packed, kp),
@@ -110,7 +130,13 @@ class QuantizedKVCache:
             k_zp=upd3(self.k_zp, kz),
             v_scale=upd3(self.v_scale, vs),
             v_zp=upd3(self.v_zp, vz),
-            length=self.length + t_new,
+            lengths=start + t_new,
+        )
+
+    def reset_slot(self, slot) -> "QuantizedKVCache":
+        """Mark one batch slot empty (its stale data is masked by length)."""
+        return dataclasses.replace(
+            self, lengths=self.lengths.at[slot].set(0)
         )
 
     def dequantize(self, dtype=jnp.bfloat16):

@@ -44,11 +44,19 @@ def rms_norm(x: jnp.ndarray, gamma: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 def rotary_embedding(x: jnp.ndarray, positions: jnp.ndarray, theta: float):
-    """RoPE over [..., T, D] with positions [T] (half-split convention)."""
+    """RoPE over [B, H, T, D] (half-split convention).
+
+    positions: [T] (shared across the batch) or [B, T] (per-slot, as in
+    continuous batching where every sequence is at a different offset).
+    """
     d = x.shape[-1]
     half = d // 2
     freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
-    angles = positions[:, None].astype(jnp.float32) * freqs[None, :]  # [T, half]
+    if positions.ndim == 1:
+        angles = positions[:, None].astype(jnp.float32) * freqs[None, :]  # [T, half]
+    else:
+        # [B, 1, T, half] to broadcast over heads
+        angles = positions[:, None, :, None].astype(jnp.float32) * freqs
     cos, sin = jnp.cos(angles), jnp.sin(angles)
     x1, x2 = x[..., :half], x[..., half:]
     out = jnp.concatenate(
@@ -91,7 +99,7 @@ class Attention:
         self,
         x: jnp.ndarray,                  # [B, T, H]
         cache: QuantizedKVCache,
-        positions: jnp.ndarray,          # [T]
+        positions: jnp.ndarray,          # [B, T] (per-slot offsets)
     ) -> Tuple[jnp.ndarray, QuantizedKVCache]:
         b, t, _ = x.shape
         nh, nkv, hd = self.num_heads, self.num_kv_heads, self.head_dim
@@ -103,7 +111,8 @@ class Attention:
         q = rotary_embedding(q, positions, self.rope_theta)
         k = rotary_embedding(k, positions, self.rope_theta)
 
-        cache = cache.append(k, v)
+        # Cache index == sequence position: row b writes at positions[b, 0].
+        cache = cache.append(k, v, start=positions[:, 0])
         kd, vd = cache.dequantize(dtype=q.dtype)  # [B, nkv, S, D]
 
         # GQA: repeat kv heads to match query heads.
@@ -113,11 +122,11 @@ class Attention:
 
         scores = jnp.einsum("bhtd,bhsd->bhts", q, kd) / jnp.sqrt(float(hd))
         s_max = cache.max_seq
-        span = jnp.arange(s_max)[None, :]
-        causal = span <= positions[:, None]          # [T, S]
-        filled = span < cache.length                  # [1, S]
-        mask = causal & filled
-        scores = jnp.where(mask[None, None], scores.astype(jnp.float32), -1e30)
+        span = jnp.arange(s_max)[None, None, :]            # [1, 1, S]
+        causal = span <= positions[:, :, None]             # [B, T, S]
+        scores = jnp.where(
+            causal[:, None], scores.astype(jnp.float32), -1e30
+        )
         probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
         out = jnp.einsum("bhts,bhsd->bhtd", probs, vd)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, nh * hd)
@@ -242,8 +251,10 @@ class QuantizedTransformer:
         self,
         tokens: jnp.ndarray,        # [B, T] i32
         caches,                     # tuple of per-layer QuantizedKVCache
-        positions: jnp.ndarray,     # [T] i32
+        positions: jnp.ndarray,     # [T] or [B, T] i32
     ):
+        if positions.ndim == 1:
+            positions = jnp.broadcast_to(positions[None, :], tokens.shape)
         x = self.embed[tokens]
         new_caches = []
         for blk, cache in zip(self.blocks, caches):

@@ -1,0 +1,211 @@
+"""Continuous-batching decode engine.
+
+The serving loop the reference aspires to ("Serving real traffic? → INT4",
+`/root/reference/README.md:106-118`) but doesn't ship — BASELINE.json
+configs[4] names continuous batching as a target capability. Design:
+
+* A fixed number of **batch slots** (static shapes; jit-compiled once).
+* Each slot runs one request; per-slot KV lengths and positions advance
+  independently (`QuantizedKVCache.lengths`).
+* When a slot finishes (EOS or max tokens), the next queued request is
+  **prefilled into that slot** while the other slots keep decoding — classic
+  continuous batching, expressed with two compiled programs:
+  `prefill(slot)` (prompt padded to a bucket length) and `decode_step()`
+  (one token for every active slot).
+* Sampling: greedy / temperature / top-k, compiled into the step.
+
+Single-chip by design here; the parallel layer (EP/TP shard_map functions)
+slots in underneath via the same model pytree.
+"""
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from typing import Callable, Deque, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["GenerationRequest", "Sampler", "ServingEngine"]
+
+
+@dataclasses.dataclass
+class GenerationRequest:
+    uid: int
+    prompt: List[int]
+    max_new_tokens: int = 32
+    eos_token: Optional[int] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class Sampler:
+    """Compiled-in sampling config."""
+
+    temperature: float = 0.0       # 0 -> greedy
+    top_k: int = 0                 # 0 -> full distribution
+
+    def sample(self, logits: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+        """logits [B, V] -> tokens [B]."""
+        if self.temperature == 0.0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        scaled = logits.astype(jnp.float32) / self.temperature
+        if self.top_k > 0:
+            vals, _ = jax.lax.top_k(scaled, self.top_k)
+            cutoff = vals[:, -1][:, None]
+            scaled = jnp.where(scaled < cutoff, -1e30, scaled)
+        return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+
+
+class ServingEngine:
+    """Continuous-batching engine over a QuantizedTransformer."""
+
+    def __init__(
+        self,
+        model,
+        cfg,
+        *,
+        num_slots: int = 4,
+        max_seq: int = 256,
+        prefill_bucket: int = 32,
+        sampler: Sampler = Sampler(),
+        seed: int = 0,
+    ):
+        self.model = model
+        self.cfg = cfg
+        self.num_slots = num_slots
+        self.max_seq = max_seq
+        self.prefill_bucket = prefill_bucket
+        self.sampler = sampler
+
+        self.caches = model.init_cache(cfg, num_slots, max_seq)
+        self.queue: Deque[GenerationRequest] = deque()
+        self.active: Dict[int, GenerationRequest] = {}   # slot -> request
+        self.generated: Dict[int, List[int]] = {}        # uid -> tokens
+        self.finished: Dict[int, List[int]] = {}
+        self._free = list(range(num_slots))
+        self._cur = np.zeros((num_slots,), np.int32)     # last token per slot
+        self._pos = np.zeros((num_slots,), np.int32)     # next position
+        self._remaining = np.zeros((num_slots,), np.int32)
+        self._key = jax.random.PRNGKey(seed)
+
+        self._decode = jax.jit(self._decode_impl)
+        self._prefill = jax.jit(self._prefill_impl)
+
+    # -- compiled programs --------------------------------------------------
+
+    def _decode_impl(self, model, caches, cur, pos, key, active_mask):
+        tokens = cur[:, None]
+        logits, caches = model(tokens, caches, pos[:, None])
+        nxt = self.sampler.sample(logits[:, 0], key)
+        # Inactive slots keep emitting token 0 at a parked position; their
+        # cache writes land at their stale position and are masked by causal
+        # attention for other slots (batch rows never interact).
+        nxt = jnp.where(active_mask, nxt, 0)
+        return nxt, caches
+
+    def _prefill_impl(self, model, caches, prompt_row, slot, start_pos):
+        """Prefill one slot with a [bucket]-padded prompt (batch of 1 lane).
+
+        Runs the full batch through the model but only the target slot's
+        row carries real tokens; other rows re-process a dummy row at
+        position parked past their current content? — No: cheaper and safer
+        is a dedicated batch-1 forward on a sliced cache; JAX slices and
+        re-inserts the slot's cache rows.
+        """
+        sliced = jax.tree.map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=0)
+            if a.ndim >= 1 else a,
+            caches,
+        )
+        t = prompt_row.shape[0]
+        positions = (start_pos + jnp.arange(t, dtype=jnp.int32))[None, :]
+        logits, sliced = model(prompt_row[None, :], sliced, positions)
+        caches = jax.tree.map(
+            lambda full, part: jax.lax.dynamic_update_slice_in_dim(
+                full, part, slot, axis=0
+            )
+            if full.ndim >= 1 else part,
+            caches, sliced,
+        )
+        # all positions' logits — the caller picks true_len-1 (the bucket tail
+        # is right-padding junk)
+        return logits[0], caches
+
+    # -- public API ----------------------------------------------------------
+
+    def submit(self, req: GenerationRequest) -> None:
+        self.queue.append(req)
+
+    def _admit(self) -> None:
+        while self._free and self.queue:
+            slot = self._free.pop()
+            req = self.queue.popleft()
+            prompt = np.asarray(req.prompt, np.int32)[-self.prefill_bucket:]
+            true_len = len(prompt)
+            bucket = self.prefill_bucket
+            # RIGHT-pad to the compile bucket. This is exactly correct:
+            # during prefill the junk sits at positions > every real token,
+            # so causal masking hides it; afterwards we rewind the slot's
+            # cache length to true_len, and each decode step *overwrites* the
+            # junk at position p before the same step's attention reads p.
+            padded = np.pad(prompt, (0, bucket - true_len))
+            logits_all, self.caches = self._prefill(
+                self.model, self.caches, jnp.asarray(padded),
+                jnp.int32(slot), jnp.int32(0),
+            )
+            # rewind slot length to the real prompt length
+            self.caches = tuple(
+                dataclasses.replace(
+                    c, lengths=c.lengths.at[slot].set(true_len)
+                )
+                for c in self.caches
+            )
+            nxt = int(jnp.argmax(logits_all[true_len - 1]))
+            self.active[slot] = req
+            self.generated[req.uid] = [nxt]
+            self._cur[slot] = nxt
+            self._pos[slot] = true_len
+            self._remaining[slot] = req.max_new_tokens - 1
+            if req.max_new_tokens <= 1 or nxt == req.eos_token:
+                self._retire(slot)
+
+    def _retire(self, slot: int) -> None:
+        req = self.active.pop(slot)
+        self.finished[req.uid] = self.generated.pop(req.uid)
+        self.caches = tuple(c.reset_slot(slot) for c in self.caches)
+        self._free.append(slot)
+
+    def step(self) -> int:
+        """Admit queued requests, run one decode step; returns #active."""
+        self._admit()
+        if not self.active:
+            return 0
+        active_mask = np.zeros((self.num_slots,), bool)
+        for s in self.active:
+            active_mask[s] = True
+        self._key, sub = jax.random.split(self._key)
+        nxt, self.caches = self._decode(
+            self.model, self.caches,
+            jnp.asarray(self._cur), jnp.asarray(self._pos),
+            sub, jnp.asarray(active_mask),
+        )
+        nxt = np.asarray(nxt)
+        self._pos += active_mask.astype(np.int32)
+        for slot in list(self.active):
+            tok = int(nxt[slot])
+            req = self.active[slot]
+            self.generated[req.uid].append(tok)
+            self._cur[slot] = tok
+            self._remaining[slot] -= 1
+            if self._remaining[slot] <= 0 or tok == req.eos_token:
+                self._retire(slot)
+        return len(self.active)
+
+    def run(self, max_steps: int = 10_000) -> Dict[int, List[int]]:
+        """Drain the queue; returns {uid: generated tokens}."""
+        for _ in range(max_steps):
+            if not self.active and not self.queue:
+                break
+            self.step()
+        return dict(self.finished)
