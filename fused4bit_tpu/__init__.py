@@ -1,0 +1,64 @@
+"""fused4bit_tpu — TPU-native INT4 weight-only inference framework.
+
+A from-scratch JAX/Pallas re-design with the capabilities of the reference
+CUDA library `Fused-4-bit-Dequantize-Linear-CUDA-Kernel` (see SURVEY.md):
+
+* quantization core with the reference's affine INT4 spec and a TPU-friendly
+  planar packing (``fused4bit_tpu.quant``)
+* fused dequantize-matmul Pallas kernel + drop-in ``QuantizedLinear``
+  (``fused4bit_tpu.ops.int4_matmul``, ``fused4bit_tpu.layers.linear``)
+* correct ragged grouped INT4 GEMM + MoE routing/dispatch/combine
+  (``fused4bit_tpu.ops.grouped_matmul``, ``fused4bit_tpu.layers.moe``)
+* INT4 KV cache, Mixtral-style decoder, continuous-batching engine
+  (``fused4bit_tpu.layers.kv_cache``, ``models``, ``serving``)
+* tensor/expert parallelism over device meshes (``fused4bit_tpu.parallel``)
+* benchmark + roofline harness (``fused4bit_tpu.utils``, ``benchmark/``)
+* native host-side packer (``fused4bit_tpu.native``, ``csrc/``)
+"""
+
+from .quant import (  # noqa: F401
+    QuantizedTensor,
+    dequantize,
+    dequantize_weights,
+    quantize,
+    quantize_weights,
+    reference_linear_qt,
+    reference_quantized_linear,
+)
+from .ops.int4_matmul import int4_matmul, quantized_linear  # noqa: F401
+from .ops.grouped_matmul import grouped_int4_matmul  # noqa: F401
+from .layers.linear import QuantizedLinear  # noqa: F401
+from .layers.moe import (  # noqa: F401
+    MoEINT4,
+    QuantizedMoE,
+    combine,
+    dispatch,
+    make_dispatch_plan,
+    simulate_router_logits,
+    topk_route,
+)
+from .layers.kv_cache import QuantizedKVCache  # noqa: F401
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "QuantizedTensor",
+    "quantize",
+    "dequantize",
+    "quantize_weights",
+    "dequantize_weights",
+    "reference_quantized_linear",
+    "reference_linear_qt",
+    "int4_matmul",
+    "quantized_linear",
+    "grouped_int4_matmul",
+    "QuantizedLinear",
+    "MoEINT4",
+    "QuantizedMoE",
+    "topk_route",
+    "simulate_router_logits",
+    "dispatch",
+    "combine",
+    "make_dispatch_plan",
+    "QuantizedKVCache",
+]
