@@ -25,20 +25,28 @@ def main():
     from fused4bit_tpu.utils.benchmark import time_fn_scan
 
     rng = np.random.default_rng(0)
-    K, N, M = 4096, 11008, 8  # reference decode shape, run_benchmark.py:54-58
+    # Reference protocol: single-vector input (run_benchmark.py:166) on the
+    # (4096 -> 11008) shape (run_benchmark.py:54-58) — the decode GEMV.
+    K, N, M = 4096, 11008, 1
     w = jnp.asarray(rng.standard_normal((N, K)), dtype=jnp.float32)
     wb = w.astype(jnp.bfloat16)
     qt = quantize(w)
     x = jnp.asarray(rng.standard_normal((M, K)), dtype=jnp.bfloat16)
 
     dense = jax.jit(lambda v: v @ wb.T)
-    kern = jax.jit(lambda v: int4_matmul(v, qt))
+    kern = jax.jit(lambda v: int4_matmul(v, qt, tile_n=1024))
 
-    t_dense = time_fn_scan(dense, x, iters=100, repeats=5)
-    t_int4 = time_fn_scan(kern, x, iters=100, repeats=5)
+    # take the best of several interleaved repeats — the chip is shared and
+    # run-to-run variance is large
+    t_dense = min(
+        time_fn_scan(dense, x, iters=100, repeats=3) for _ in range(3)
+    )
+    t_int4 = min(
+        time_fn_scan(kern, x, iters=100, repeats=3) for _ in range(3)
+    )
 
     print(json.dumps({
-        "metric": "int4_fused_linear_latency_4096x11008_m8",
+        "metric": "int4_fused_linear_latency_4096x11008_m1",
         "value": round(t_int4 * 1e6, 1),
         "unit": "us",
         "vs_baseline": round(t_dense / t_int4, 3),
