@@ -49,13 +49,15 @@ def build(cfg, num_tokens, distribution, tile_m, seed=0):
     w = jnp.asarray(rng.standard_normal((E, N, K)) * 0.02, dtype=jnp.float32)
     qt = jax.block_until_ready(jax.jit(lambda a: quantize(a, layout="planar"))(w))
     wb = w.astype(jnp.bfloat16)
+    from fused4bit_tpu.quant.fp4 import quantize_fp4
+    fp4 = jax.block_until_ready(jax.jit(quantize_fp4)(w))
     x = jnp.asarray(rng.standard_normal((num_tokens, K)), dtype=jnp.bfloat16)
     logits = simulate_router_logits(jax.random.PRNGKey(seed), num_tokens, E, distribution)
     routing = topk_route(logits, cfg.top_k, E)
     plan = make_dispatch_plan(routing, E, tile_m=tile_m)
     xs = dispatch(x, routing, plan)
-    return dict(w=w, qt=qt, wb=wb, x=x, routing=routing, plan=plan, xs=xs,
-                E=E, K=K, N=N, cap=plan.t_pad // E)
+    return dict(w=w, qt=qt, wb=wb, fp4=fp4, x=x, routing=routing, plan=plan,
+                xs=xs, E=E, K=K, N=N, cap=plan.t_pad // E)
 
 
 def implementations(env, tile_m):
@@ -83,7 +85,15 @@ def implementations(env, tile_m):
         xp = xs[: E * cap].reshape(E, cap, K)
         return jnp.einsum("eck,enk->ecn", xp, wd).reshape(-1, N)
 
-    return {"naive": naive, "bmm": bmm, "int4": int4, "int4-ref": int4_ref}
+    def fp4(xs):
+        # emulated E2M1 path (reference grouped_gemm_fp4.py analogue)
+        from fused4bit_tpu.quant.fp4 import dequantize_fp4
+        wd = dequantize_fp4(env["fp4"], dtype=jnp.bfloat16)
+        xp = xs[: E * cap].reshape(E, cap, K)
+        return jnp.einsum("eck,enk->ecn", xp, wd).reshape(-1, N)
+
+    return {"naive": naive, "bmm": bmm, "int4": int4, "int4-ref": int4_ref,
+            "fp4": fp4}
 
 
 def run_once(cfg, num_tokens, distribution, warmup, iters, tile_m, verify, impls_filter):
