@@ -316,3 +316,179 @@ def int4_matmul(
 def quantized_linear(x, qt: QuantizedTensor, **kw):
     """Alias with the reference's forward semantics (`python/module.py:100`)."""
     return int4_matmul(x, qt, **kw)
+
+
+# ---------------------------------------------------------------------------
+# w4a8 "turbo" mode: dynamic int8 activations, pure-integer MXU path
+# ---------------------------------------------------------------------------
+#
+# A different numerical contract than the w4a16 kernel above (activations are
+# per-row symmetric-int8 quantized on the fly), in exchange for a leaner
+# pipeline: the weight operand needs only u8 masks + one u8->i8 cast (no
+# float converts at all), the MXU runs in its int8 mode, and every
+# accumulation step is EXACT int32 arithmetic — so the zero-point correction
+# can be applied algebraically after the dot with no cancellation error:
+#
+#   y_q[b,j] = sum_i (q[j,i] - zp_j) xq[b,i]
+#            = dot(xq_lo, lo) + (dot(xq_hi, vhi) >> 4) + 8*xsum_hi
+#              - zp_j * (xsum_lo + xsum_hi)            (all int32, exact)
+#   y[b,j]   = s_j * sx_b * y_q[b,j]
+#
+# with vhi = 16*(q_hi - 8) straight from the planar XOR-8 byte (see
+# pack_planar), and `>> 4` exact because every vhi is a multiple of 16.
+
+
+def _int4_a8_kernel(
+    xq_ref,       # [TM, K] i8    quantized activations
+    w_ref,        # [TN, TKH] u8  packed planar
+    s_ref,        # [1, TN] f32   weight scales
+    z_ref,        # [1, TN] f32   weight zero-points (integer-valued)
+    sx_ref,       # [TM, 1] f32   activation scales
+    o_ref,        # [TM, TN]
+    acc_ref,      # [TM, TN] i32 scratch
+    xsum_ref,     # [TM, 1] i32 scratch: sum of xq (lo+hi halves)
+    xsumh_ref,    # [TM, 1] i32 scratch: sum of xq hi half only
+    *,
+    n_k: int,
+    k_half: int,
+    tile_kh: int,
+):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        xsum_ref[:] = jnp.zeros_like(xsum_ref)
+        xsumh_ref[:] = jnp.zeros_like(xsumh_ref)
+
+    p = w_ref[:]
+    lo = (p & 0x0F).astype(jnp.int8)
+    vhi = pltpu.bitcast(p & 0xF0, jnp.int8)
+
+    if n_k == 1:
+        x_lo = xq_ref[:, :k_half]
+        x_hi = xq_ref[:, k_half:]
+    else:
+        off = pl.multiple_of(k * tile_kh, 128)
+        x_lo = xq_ref[:, pl.ds(off, tile_kh)]
+        x_hi = xq_ref[:, pl.ds(k_half + off, tile_kh)]
+
+    dims = (((1,), (1,)), ((), ()))
+    acc_lo = jax.lax.dot_general(x_lo, lo, dims, preferred_element_type=jnp.int32)
+    acc_vhi = jax.lax.dot_general(x_hi, vhi, dims, preferred_element_type=jnp.int32)
+    xsl = jnp.sum(x_lo.astype(jnp.int32), axis=1, keepdims=True)
+    xsh = jnp.sum(x_hi.astype(jnp.int32), axis=1, keepdims=True)
+    # >> 4 is exact: every vhi value is a multiple of 16.
+    acc_ref[:] += acc_lo + (acc_vhi >> 4)
+    xsum_ref[:] += xsl + xsh
+    xsumh_ref[:] += xsh
+
+    @pl.when(k == n_k - 1)
+    def _finish():
+        zp = z_ref[0, :][None, :]  # f32, integer-valued
+        yq = (
+            (acc_ref[:] + 8 * xsumh_ref[:]).astype(jnp.float32)
+            - zp * xsum_ref[:].astype(jnp.float32)
+        )
+        o_ref[:] = (s_ref[0, :][None, :] * sx_ref[:] * yq).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_m", "tile_n", "tile_kh", "out_dtype", "interpret"),
+)
+def _int4_a8_padded(
+    xq, sx, packed, scales, zero_points,
+    *, tile_m, tile_n, tile_kh, out_dtype, interpret,
+):
+    m, k = xq.shape
+    n, k_half = packed.shape
+    n_k = k_half // tile_kh
+    grid = (m // tile_m, n // tile_n, n_k)
+    kernel = functools.partial(
+        _int4_a8_kernel, n_k=n_k, k_half=k_half, tile_kh=tile_kh
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, k), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_n, tile_kh), lambda i, j, kk: (j, kk), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, tile_n), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, 1), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_m, tile_n), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile_m, tile_n), jnp.int32),
+            pltpu.VMEM((tile_m, 1), jnp.int32),
+            pltpu.VMEM((tile_m, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xq, packed, scales[None, :], zero_points[None, :], sx)
+
+
+def int4_matmul_a8(
+    x: jnp.ndarray,
+    qt: QuantizedTensor,
+    *,
+    tile_n: Optional[int] = None,
+    out_dtype=None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """w4a8 fused linear: per-row int8 activation quant + integer MXU dots.
+
+    ~0.3-0.5% relative activation-quantization error vs :func:`int4_matmul`;
+    use where throughput matters more than the last decimal (the weight
+    dequant itself stays exact).
+    """
+    if qt.granularity != "per_row" or qt.layout != "planar":
+        raise ValueError("a8 kernel requires per_row + planar weights")
+    n, k = qt.out_dim, qt.in_dim
+    if interpret is None:
+        interpret = not _on_tpu()
+    if out_dtype is None:
+        out_dtype = x.dtype
+
+    lead = x.shape[:-1]
+    m = 1
+    for d in lead:
+        m *= d
+    x2 = x.reshape(m, k).astype(jnp.float32)
+
+    # dynamic per-row symmetric int8 activation quantization
+    amax = jnp.max(jnp.abs(x2), axis=1, keepdims=True)
+    sx = jnp.clip(amax, min=1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x2 / sx), -127, 127).astype(jnp.int8)
+
+    m_pad = max(_round_up(m, 32), 32)  # i8 sublane tile is 32
+    tile_m = m_pad if m_pad <= 256 else 256
+    m_pad = _round_up(m_pad, tile_m)
+    tn = tile_n or min(1024, _round_up(n, 128))
+    n_pad = _round_up(n, tn)
+    k_half = k // 2
+    tile_kh = k_half
+    if m_pad != m:
+        xq = jnp.pad(xq, ((0, m_pad - m), (0, 0)))
+        sx = jnp.pad(sx, ((0, m_pad - m), (0, 0)))
+    packed, scales, zps = qt.packed, qt.scales, qt.zero_points
+    if n_pad != n:
+        packed = jnp.pad(packed, ((0, n_pad - n), (0, 0)))
+        scales = jnp.pad(scales, (0, n_pad - n))
+        zps = jnp.pad(zps, (0, n_pad - n))
+
+    out = _int4_a8_padded(
+        xq, sx.astype(jnp.float32), packed,
+        scales.astype(jnp.float32), zps.astype(jnp.float32),
+        tile_m=tile_m, tile_n=tn, tile_kh=tile_kh,
+        out_dtype=out_dtype, interpret=interpret,
+    )
+    return out[:m, :n].reshape(*lead, n)

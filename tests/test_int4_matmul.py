@@ -146,3 +146,38 @@ class TestQuantizedLinear:
             np.asarray(reference_linear_qt(x, layer.weight)),
             atol=1e-5,
         )
+
+
+class TestInt4MatmulA8:
+    """w4a8 turbo mode: integer MXU path with dynamic activation quant."""
+
+    def test_matches_reference_within_a8_tolerance(self, rng):
+        from fused4bit_tpu.ops.int4_matmul import int4_matmul_a8
+
+        w = randw(rng, 128, 512)
+        x = randw(rng, 8, 512)
+        qt = quantize(w)
+        got = int4_matmul_a8(x, qt)
+        want = reference_linear_qt(x, qt)
+        rel = jnp.max(jnp.abs(got - want)) / jnp.max(jnp.abs(want))
+        assert float(rel) < 0.02  # int8 activation quantization error
+
+    def test_shapes_and_dtype(self, rng):
+        from fused4bit_tpu.ops.int4_matmul import int4_matmul_a8
+
+        w = randw(rng, 96, 256)
+        qt = quantize(w)
+        x = jnp.asarray(rng.standard_normal((2, 3, 256)), jnp.bfloat16)
+        y = int4_matmul_a8(x, qt)
+        assert y.shape == (2, 3, 96)
+        assert y.dtype == jnp.bfloat16
+
+    def test_integer_path_is_deterministic(self, rng):
+        from fused4bit_tpu.ops.int4_matmul import int4_matmul_a8
+
+        w = randw(rng, 64, 256)
+        qt = quantize(w)
+        x = randw(rng, 4, 256)
+        a = int4_matmul_a8(x, qt)
+        b = int4_matmul_a8(x, qt)
+        assert jnp.array_equal(a, b)
