@@ -157,6 +157,9 @@ def main(argv=None):
     p.add_argument("--impls", nargs="*", default=None,
                    help="subset of naive/bmm/int4/int4-ref")
     p.add_argument("--output", default=None, help="write results JSON here")
+    p.add_argument("--plot", default=None,
+                   help="write a latency/speedup PNG here (reference parity: "
+                        "run_moe_benchmark.py:304-380 plots)")
     args = p.parse_args(argv)
 
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
@@ -171,7 +174,39 @@ def main(argv=None):
         with open(args.output, "w") as f:
             json.dump(all_results, f, indent=2)
         print(f"wrote {args.output}")
+    if args.plot:
+        plot_results(all_results, cfg, args.plot)
     return 0
+
+
+def plot_results(all_results, cfg, path):
+    """Latency + speedup bar charts (reference plot parity)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    tokens = sorted(all_results)
+    impls = sorted({k for r in all_results.values() for k in r})
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4))
+    width = 0.8 / max(len(impls), 1)
+    for i, name in enumerate(impls):
+        xs_ = range(len(tokens))
+        ys = [all_results[t].get(name, float("nan")) for t in tokens]
+        ax1.bar([x + i * width for x in xs_], ys, width, label=name)
+        base = [all_results[t].get("naive") or all_results[t].get("bmm")
+                for t in tokens]
+        sp = [b / y if (b and y) else float("nan") for b, y in zip(base, ys)]
+        ax2.bar([x + i * width for x in xs_], sp, width, label=name)
+    for ax, ylab in ((ax1, "latency (ms)"), (ax2, "speedup vs baseline")):
+        ax.set_xticks([x + 0.4 for x in range(len(tokens))])
+        ax.set_xticklabels([str(t) for t in tokens])
+        ax.set_xlabel("tokens")
+        ax.set_ylabel(ylab)
+        ax.legend(fontsize=8)
+    fig.suptitle(f"MoE grouped GEMM — {cfg.name}")
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    print(f"wrote {path}")
 
 
 if __name__ == "__main__":

@@ -114,3 +114,64 @@ class TestExpertParallel:
         )
         assert got.shape == (self.T, self.N)
         assert not bool(jnp.any(jnp.isnan(got)))
+
+
+class TestShardedModel:
+    def test_sharded_decode_matches_single_device(self, rng):
+        import jax.numpy as jnp
+        from fused4bit_tpu.models.config import flagship_model_config
+        from fused4bit_tpu.models.transformer import QuantizedTransformer
+        from fused4bit_tpu.parallel.sharded_model import (
+            place_model,
+            sharded_decode_step,
+        )
+
+        cfg = flagship_model_config("tiny")  # 4 experts
+        model = QuantizedTransformer.init(jax.random.PRNGKey(0), cfg)
+        mesh = make_mesh(("data", "expert"), (2, 4))
+
+        b, t = 4, 3
+        tokens = jnp.asarray(np.arange(b * t).reshape(b, t) % cfg.vocab_size, jnp.int32)
+        positions = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+
+        # single-device golden
+        caches0 = model.init_cache(cfg, b, max_seq=8)
+        want, _ = model(tokens, caches0, positions)
+
+        # sharded
+        sm = place_model(model, mesh)
+        caches = model.init_cache(cfg, b, max_seq=8)
+        got, new_caches = sharded_decode_step(
+            sm, mesh, tokens, caches, positions, interpret=True
+        )
+        assert got.shape == want.shape
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=5e-2, rtol=5e-2,
+        )
+        assert int(new_caches[0].lengths[0]) == t
+
+    def test_sharded_decode_two_steps(self, rng):
+        import jax.numpy as jnp
+        from fused4bit_tpu.models.config import flagship_model_config
+        from fused4bit_tpu.models.transformer import QuantizedTransformer
+        from fused4bit_tpu.parallel.sharded_model import (
+            place_model,
+            sharded_decode_step,
+        )
+
+        cfg = flagship_model_config("tiny")
+        model = QuantizedTransformer.init(jax.random.PRNGKey(0), cfg)
+        mesh = make_mesh(("data", "expert"), (2, 4))
+        sm = place_model(model, mesh)
+        b = 2
+        caches = model.init_cache(cfg, b, max_seq=8)
+        tok = jnp.zeros((b, 1), jnp.int32)
+        lg, caches = sharded_decode_step(
+            sm, mesh, tok, caches, jnp.zeros((b, 1), jnp.int32), interpret=True
+        )
+        lg2, caches = sharded_decode_step(
+            sm, mesh, tok, caches, jnp.ones((b, 1), jnp.int32), interpret=True
+        )
+        assert lg2.shape == (b, 1, cfg.vocab_size)
+        assert int(caches[0].lengths[0]) == 2
