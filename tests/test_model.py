@@ -69,13 +69,14 @@ class TestPieces:
         np.testing.assert_allclose(np.asarray(y[..., 0, :]), np.asarray(x[..., 0, :]), atol=1e-6)
 
 
-class TestModel:
-    @pytest.fixture(scope="class")
-    def model(self):
-        cfg = flagship_model_config("tiny")
-        model = QuantizedTransformer.init(jax.random.PRNGKey(0), cfg)
-        return cfg, model
+@pytest.fixture(scope="module")
+def model():
+    cfg = flagship_model_config("tiny")
+    m = QuantizedTransformer.init(jax.random.PRNGKey(0), cfg)
+    return cfg, m
 
+
+class TestModel:
     def test_prefill_shapes(self, model):
         cfg, m = model
         b, t = 2, 8
@@ -142,3 +143,33 @@ class TestModel:
 
         logits, caches = step(m, jnp.zeros((1, 1), jnp.int32), caches, jnp.asarray([0]))
         assert logits.shape == (1, 1, cfg.vocab_size)
+
+
+class TestDenseTwin:
+    """INT4 model vs its dequantized dense twin: same function, two engines."""
+
+    def test_logits_match_dense_twin(self, model):
+        from fused4bit_tpu.models.dense_baseline import dense_from_quantized
+
+        cfg, m = model
+        dense = dense_from_quantized(m, dtype=jnp.float32)
+        b, t = 1, 5
+        toks = jnp.asarray(np.arange(t)[None] % cfg.vocab_size, jnp.int32)
+        qc = m.init_cache(cfg, b, 16)
+        dc = dense.init_cache(cfg, b, 16, dtype=jnp.float32)
+        lq, _ = m(toks, qc, jnp.arange(t))
+        ld, _ = dense(toks, dc, jnp.arange(t))
+        a = np.asarray(lq, np.float32).ravel()
+        v = np.asarray(ld, np.float32).ravel()
+        cos = a @ v / (np.linalg.norm(a) * np.linalg.norm(v))
+        # same dequantized weights; differences = INT4 KV cache + expert
+        # flips on near-uniform random-weight router logits. The reference's
+        # model-quality bar is cos > 0.95 (tests/test_correctness.py:140-168).
+        assert cos > 0.95
+
+    def test_dense_twin_memory_ratio(self, model):
+        from fused4bit_tpu.models.dense_baseline import dense_from_quantized
+
+        cfg, m = model
+        dense = dense_from_quantized(m)
+        assert dense.nbytes / m.nbytes > 2.0  # embed tables dilute the 4x
