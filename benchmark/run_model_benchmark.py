@@ -50,26 +50,77 @@ def main(argv=None):
           f"{sum(c.nbytes for c in qcaches)/1e6:.0f} MB   bf16 "
           f"{sum(c.nbytes for c in dcaches)/1e6:.0f} MB")
 
-    tok = jnp.zeros((b, 1), jnp.int32)
-    pos = jnp.full((b, 1), 16, jnp.int32)
+    # Real autoregressive decode: `steps` chained greedy steps inside ONE jit
+    # (lax.scan carrying the KV caches), so per-dispatch overhead is
+    # amortized and every step genuinely depends on the previous one.
+    steps = args.iters
 
-    qstep = jax.jit(lambda m, t, c, p: m(t, c, p))
-    dstep = jax.jit(lambda m, t, c, p: m(t, c, p))
+    def make_loop(m):
+        @jax.jit
+        def loop(m, caches, tok0, pos0):
+            def body(carry, _):
+                tok, caches, pos = carry
+                logits, caches = m(tok, caches, pos)
+                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[:, None]
+                return (nxt, caches, pos + 1), nxt
 
-    # prime caches a bit so attention reads something
-    _, qcaches = qstep(model, jnp.zeros((b, 16), jnp.int32), qcaches,
-                       jnp.broadcast_to(jnp.arange(16)[None], (b, 16)))
-    _, dcaches = dstep(dense, jnp.zeros((b, 16), jnp.int32), dcaches,
-                       jnp.broadcast_to(jnp.arange(16)[None], (b, 16)))
+            (tok, caches, pos), toks = jax.lax.scan(
+                body, (tok0, caches, pos0), None, length=steps
+            )
+            return toks
 
-    tq = time_fn(lambda: qstep(model, tok, qcaches, pos)[0],
-                 warmup=3, iters=args.iters)
-    td = time_fn(lambda: dstep(dense, tok, dcaches, pos)[0],
-                 warmup=3, iters=args.iters)
+        return loop
 
-    print(f"\ndecode step (batch {b}):")
-    print(f"  int4 model: {tq*1e3:8.3f} ms  -> {b/tq:8.0f} tokens/s")
-    print(f"  bf16 model: {td*1e3:8.3f} ms  -> {b/td:8.0f} tokens/s")
+    import time
+
+    def run(m, caches):
+        """Marginal per-step time: (T(2*steps) - T(steps)) / steps.
+
+        Robust against fixed overheads and any request-level caching in the
+        remote execution path (observed: identical repeated calls can return
+        anomalously fast on the tunneled chip).
+        """
+
+        def timed(n):
+            def make(nsteps):
+                @jax.jit
+                def loop(m, caches, tok0, pos0):
+                    def body(carry, _):
+                        tok, caches, pos = carry
+                        logits, caches = m(tok, caches, pos)
+                        nxt = jnp.argmax(
+                            logits[:, -1], axis=-1
+                        ).astype(jnp.int32)[:, None]
+                        return (nxt, caches, pos + 1), nxt
+
+                    _, toks = jax.lax.scan(
+                        body, (tok0, caches, pos0), None, length=nsteps
+                    )
+                    return toks
+
+                return loop
+
+            loop = make(n)
+            tok0 = jnp.zeros((b, 1), jnp.int32)
+            pos0 = jnp.zeros((b, 1), jnp.int32)
+            loop(m, caches, tok0, pos0).block_until_ready()
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                loop(m, caches, tok0, pos0).block_until_ready()
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t1 = timed(steps)
+        t2 = timed(2 * steps)
+        return max(t2 - t1, 1e-9) / steps
+
+    tq = run(model, qcaches)
+    td = run(dense, dcaches)
+
+    print(f"\nautoregressive decode (batch {b}, {steps} chained steps):")
+    print(f"  int4 model: {tq*1e3:8.3f} ms/step  -> {b/tq:8.0f} tokens/s")
+    print(f"  bf16 model: {td*1e3:8.3f} ms/step  -> {b/td:8.0f} tokens/s")
     print(f"  speedup: {td/tq:.2f}x")
     return 0
 

@@ -86,8 +86,19 @@ class QuantizedLinear:
     # -- forward -------------------------------------------------------------
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        if self.use_kernel and self.weight.granularity == "per_row":
-            y = int4_matmul(x, self.weight)
+        w = self.weight
+        if self.use_kernel and w.layout == "planar" and w.granularity == "per_row":
+            y = int4_matmul(x, w)
+        elif (
+            self.use_kernel
+            and w.layout == "planar"
+            and w.granularity == "per_group"
+            and w.group_size % 128 == 0
+            and (w.in_dim // 2) % w.group_size == 0
+        ):
+            from ..ops.int4_matmul import int4_matmul_per_group
+
+            y = int4_matmul_per_group(x, w)
         else:
             y = reference_linear_qt(x, self.weight, dtype=x.dtype)
         if self.bias is not None:

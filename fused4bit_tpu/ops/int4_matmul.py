@@ -319,6 +319,160 @@ def quantized_linear(x, qt: QuantizedTensor, **kw):
 
 
 # ---------------------------------------------------------------------------
+# per_group granularity kernel
+# ---------------------------------------------------------------------------
+#
+# Production INT4 uses finer-than-row scales: one (scale, zp) per contiguous
+# `group_size` input columns of each row. The scale now varies along the
+# *contraction* dimension, so it cannot be applied after one big dot.
+# Instead the kernel runs one MXU dot per (half, group) pair and applies that
+# group's per-row scale to the [TM, TN] partial in f32 — keeping the math as
+# exact as the per_row kernel (zp subtract pre-dot, scale post-dot):
+#
+#   y = sum_g s[:, g] * ( x_g @ (q_g - zp[:, g])^T )
+#
+# Constraints: group_size % 128 == 0 (static lane slices) and
+# group_size | K/2 (groups never straddle the planar lo/hi halves).
+
+
+def _int4_group_kernel(
+    x_ref,        # [TM, K]
+    w_ref,        # [TN, K/2] u8 planar (single k-tile)
+    s_ref,        # [1, TN, G] f32
+    z_ref,        # [1, TN, G] f32
+    o_ref,        # [TM, TN]
+    *,
+    k_half: int,
+    group_size: int,
+    compute_dtype,
+):
+    p = w_ref[:]
+    lo_all = (p & 0x0F).astype(jnp.int8).astype(compute_dtype)
+    vhi_all = pltpu.bitcast(p & 0xF0, jnp.int8).astype(compute_dtype)
+
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    dims = (((1,), (1,)), ((), ()))
+    n_groups_half = k_half // group_size
+    acc = jnp.zeros((x_ref.shape[0], o_ref.shape[1]), jnp.float32)
+    for g in range(n_groups_half):
+        sl = slice(g * group_size, (g + 1) * group_size)
+        zp_lo = z_ref[0, :, g][:, None].astype(compute_dtype)
+        qlo = lo_all[:, sl] - zp_lo
+        x_lo = x_ref[:, sl].astype(compute_dtype)
+        d_lo = jax.lax.dot_general(
+            x_lo, qlo, dims, preferred_element_type=jnp.float32, precision=prec
+        )
+        acc += s_ref[0, :, g][None, :] * d_lo
+
+        gh = n_groups_half + g  # group index of the hi-half twin columns
+        zp_hi = z_ref[0, :, gh][:, None].astype(compute_dtype)
+        # vhi = 16*(q_hi - 8)  ->  q_hi - zp = vhi/16 + (8 - zp)
+        vhi = vhi_all[:, sl] - 16.0 * (zp_hi - 8.0)
+        x_hi = x_ref[:, k_half + g * group_size : k_half + (g + 1) * group_size]
+        d_hi = jax.lax.dot_general(
+            x_hi.astype(compute_dtype), vhi, dims,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        acc += (0.0625 * s_ref[0, :, gh])[None, :] * d_hi
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "tile_m", "tile_n", "group_size", "compute_dtype", "out_dtype", "interpret",
+    ),
+)
+def _int4_group_padded(
+    x, packed, scales, zps,
+    *, tile_m, tile_n, group_size, compute_dtype, out_dtype, interpret,
+):
+    m, k = x.shape
+    n, k_half = packed.shape
+    g = scales.shape[-1]
+    grid = (m // tile_m, n // tile_n)
+    kernel = functools.partial(
+        _int4_group_kernel,
+        k_half=k_half, group_size=group_size, compute_dtype=compute_dtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, k_half), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n, g), lambda i, j: (0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n, g), lambda i, j: (0, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_m, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(x, packed, scales[None], zps[None])
+
+
+def int4_matmul_per_group(
+    x: jnp.ndarray,
+    qt: QuantizedTensor,
+    *,
+    tile_n: Optional[int] = None,
+    compute_dtype=None,
+    out_dtype=None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Fused linear for per_group-quantized planar weights."""
+    if qt.granularity != "per_group" or qt.layout != "planar":
+        raise ValueError("requires per_group + planar weights")
+    gs = qt.group_size
+    n, k = qt.out_dim, qt.in_dim
+    k_half = k // 2
+    if gs % 128 != 0 or k_half % gs != 0:
+        raise ValueError(
+            f"group_size={gs} must be a multiple of 128 dividing K/2={k_half}"
+        )
+    if x.shape[-1] != k:
+        raise ValueError(f"x K={x.shape[-1]} != {k}")
+    if interpret is None:
+        interpret = not _on_tpu()
+    if compute_dtype is None:
+        compute_dtype = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
+    if out_dtype is None:
+        out_dtype = x.dtype
+
+    lead = x.shape[:-1]
+    m = 1
+    for d in lead:
+        m *= d
+    x2 = x.reshape(m, k)
+    m_pad = max(_round_up(m, 8), 8)
+    tile_m = m_pad if m_pad <= 256 else 256
+    m_pad = _round_up(m_pad, tile_m)
+    tn = tile_n or min(512, _round_up(n, 128))
+    n_pad = _round_up(n, tn)
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+    packed, scales, zps = qt.packed, qt.scales, qt.zero_points
+    if n_pad != n:
+        packed = jnp.pad(packed, ((0, n_pad - n), (0, 0)))
+        scales = jnp.pad(scales, ((0, n_pad - n), (0, 0)))
+        zps = jnp.pad(zps, ((0, n_pad - n), (0, 0)))
+    out = _int4_group_padded(
+        x2, packed, scales.astype(jnp.float32), zps.astype(jnp.float32),
+        tile_m=tile_m, tile_n=tn, group_size=gs,
+        compute_dtype=compute_dtype, out_dtype=out_dtype, interpret=interpret,
+    )
+    return out[:m, :n].reshape(*lead, n)
+
+
+# ---------------------------------------------------------------------------
 # w4a8 "turbo" mode: dynamic int8 activations, pure-integer MXU path
 # ---------------------------------------------------------------------------
 #

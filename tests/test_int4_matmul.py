@@ -181,3 +181,54 @@ class TestInt4MatmulA8:
         a = int4_matmul_a8(x, qt)
         b = int4_matmul_a8(x, qt)
         assert jnp.array_equal(a, b)
+
+
+class TestInt4MatmulPerGroup:
+    """per_group granularity in the fused kernel (production INT4 standard)."""
+
+    def test_matches_reference(self, rng):
+        from fused4bit_tpu.ops.int4_matmul import int4_matmul_per_group
+
+        w = randw(rng, 128, 512)  # K/2=256, group_size=128 -> 2 groups/half
+        qt = quantize(w, granularity="per_group", group_size=128, layout="planar")
+        x = randw(rng, 8, 512)
+        got = int4_matmul_per_group(x, qt)
+        want = reference_linear_qt(x, qt)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
+
+    def test_better_than_per_row_on_outlier_rows(self, rng):
+        """per_group must beat per_row when a row has a localized outlier."""
+        w = np.asarray(rng.standard_normal((32, 512)), np.float32)
+        w[:, :8] *= 50.0  # outlier columns blow up the per-row scale
+        w = jnp.asarray(w)
+        x = randw(rng, 4, 512)
+        exact = np.asarray(x @ w.T)
+        from fused4bit_tpu.ops.int4_matmul import int4_matmul, int4_matmul_per_group
+
+        qr = quantize(w, granularity="per_row", layout="planar")
+        qg = quantize(w, granularity="per_group", group_size=128, layout="planar")
+        err_row = np.max(np.abs(np.asarray(int4_matmul(x, qr)) - exact))
+        err_grp = np.max(np.abs(np.asarray(int4_matmul_per_group(x, qg)) - exact))
+        assert err_grp < err_row
+
+    def test_quantized_linear_dispatches_to_group_kernel(self, rng):
+        w = randw(rng, 64, 512)
+        layer = QuantizedLinear.from_dense(w, granularity="per_group", group_size=128)
+        x = randw(rng, 2, 512)
+        np.testing.assert_allclose(
+            np.asarray(layer(x)),
+            np.asarray(reference_linear_qt(x, layer.weight)),
+            atol=1e-3,
+        )
+
+    def test_bf16(self, rng):
+        from fused4bit_tpu.ops.int4_matmul import int4_matmul_per_group
+
+        w = randw(rng, 128, 256)
+        qt = quantize(w, granularity="per_group", group_size=128, layout="planar")
+        x = randw(rng, 4, 256).astype(jnp.bfloat16)
+        got = int4_matmul_per_group(x, qt)
+        want = reference_linear_qt(x.astype(jnp.float32), qt)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want), atol=0.15, rtol=0.05
+        )
