@@ -245,12 +245,18 @@ def int4_matmul(
     compute_dtype=None,
     out_dtype=None,
     interpret: Optional[bool] = None,
+    prefill_threshold: int = 512,
 ) -> jnp.ndarray:
     """``x @ dequant(qt)^T`` without materializing the dense weight.
 
     Args:
       x:  [..., K] activations (f32 or bf16).
       qt: per_row-quantized, planar/block_planar-packed weight [N, K].
+      prefill_threshold: above this many rows the call is compute-bound, not
+        weight-stream-bound — the fused kernel would re-stream the packed
+        weights once per m-tile, so a one-shot dequantize + XLA dense matmul
+        (which streams the weights once and runs the MXU at full tilt) is
+        strictly better. Decode (small M) stays on the fused kernel.
     Returns [..., N].
     """
     if qt.granularity != "per_row":
@@ -276,6 +282,22 @@ def int4_matmul(
     m = 1
     for d in lead:
         m *= d
+
+    if m > prefill_threshold:
+        # Prefill regime: dequantize once, let XLA's dense matmul do the rest.
+        from ..quant.core import dequantize
+
+        wd = dequantize(qt, dtype=compute_dtype)
+        y = jax.lax.dot_general(
+            x.reshape(m, k).astype(compute_dtype), wd,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST
+            if compute_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT,
+        )
+        return y.astype(out_dtype).reshape(*lead, n)
+
     x2 = x.reshape(m, k)
 
     m_pad = max(_round_up(m, 8), 8)

@@ -232,3 +232,20 @@ class TestInt4MatmulPerGroup:
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(want), atol=0.15, rtol=0.05
         )
+
+
+class TestPrefillDispatch:
+    def test_prefill_path_matches_kernel(self, rng):
+        w = randw(rng, 128, 256)
+        qt = quantize(w)
+        x = randw(rng, 600, 256)  # > default prefill_threshold
+        via_prefill = int4_matmul(x, qt)
+        via_kernel = int4_matmul(x, qt, prefill_threshold=10_000)
+        np.testing.assert_allclose(
+            np.asarray(via_prefill), np.asarray(via_kernel), atol=1e-2
+        )
+        np.testing.assert_allclose(
+            np.asarray(via_prefill),
+            np.asarray(reference_linear_qt(x, qt)),
+            atol=1e-3,
+        )
