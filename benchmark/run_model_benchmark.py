@@ -50,12 +50,15 @@ def main(argv=None):
           f"{sum(c.nbytes for c in qcaches)/1e6:.0f} MB   bf16 "
           f"{sum(c.nbytes for c in dcaches)/1e6:.0f} MB")
 
-    # Real autoregressive decode: `steps` chained greedy steps inside ONE jit
-    # (lax.scan carrying the KV caches), so per-dispatch overhead is
-    # amortized and every step genuinely depends on the previous one.
+    # Real autoregressive decode: chained greedy steps inside ONE jit
+    # (lax.scan carrying the KV caches). Timing protocol hardened for the
+    # tunneled chip: fresh token inputs per repeat (identical repeated
+    # requests can return anomalously fast) and median-of-repeats with an
+    # explicit block_until_ready per run.
     steps = args.iters
+    import time
 
-    def make_loop(m):
+    def run(m, caches):
         @jax.jit
         def loop(m, caches, tok0, pos0):
             def body(carry, _):
@@ -64,56 +67,18 @@ def main(argv=None):
                 nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[:, None]
                 return (nxt, caches, pos + 1), nxt
 
-            (tok, caches, pos), toks = jax.lax.scan(
-                body, (tok0, caches, pos0), None, length=steps
-            )
+            _, toks = jax.lax.scan(body, (tok0, caches, pos0), None, length=steps)
             return toks
 
-        return loop
-
-    import time
-
-    def run(m, caches):
-        """Marginal per-step time: (T(2*steps) - T(steps)) / steps.
-
-        Robust against fixed overheads and any request-level caching in the
-        remote execution path (observed: identical repeated calls can return
-        anomalously fast on the tunneled chip).
-        """
-
-        def timed(n):
-            def make(nsteps):
-                @jax.jit
-                def loop(m, caches, tok0, pos0):
-                    def body(carry, _):
-                        tok, caches, pos = carry
-                        logits, caches = m(tok, caches, pos)
-                        nxt = jnp.argmax(
-                            logits[:, -1], axis=-1
-                        ).astype(jnp.int32)[:, None]
-                        return (nxt, caches, pos + 1), nxt
-
-                    _, toks = jax.lax.scan(
-                        body, (tok0, caches, pos0), None, length=nsteps
-                    )
-                    return toks
-
-                return loop
-
-            loop = make(n)
-            tok0 = jnp.zeros((b, 1), jnp.int32)
-            pos0 = jnp.zeros((b, 1), jnp.int32)
+        pos0 = jnp.zeros((b, 1), jnp.int32)
+        np.asarray(loop(m, caches, jnp.zeros((b, 1), jnp.int32), pos0))  # compile
+        ts = []
+        for r in range(4):
+            tok0 = jnp.full((b, 1), r + 3, jnp.int32)
+            t0 = time.perf_counter()
             loop(m, caches, tok0, pos0).block_until_ready()
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                loop(m, caches, tok0, pos0).block_until_ready()
-                best = min(best, time.perf_counter() - t0)
-            return best
-
-        t1 = timed(steps)
-        t2 = timed(2 * steps)
-        return max(t2 - t1, 1e-9) / steps
+            ts.append((time.perf_counter() - t0) / steps)
+        return sorted(ts)[len(ts) // 2]
 
     tq = run(model, qcaches)
     td = run(dense, dcaches)
