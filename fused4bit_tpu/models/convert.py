@@ -1,0 +1,132 @@
+"""Dense checkpoint -> INT4 model conversion.
+
+The offline entry point of the reference is `QuantizedLinear.from_linear`
+(`/root/reference/python/module.py:67-98`): take trained full-precision
+weights, quantize, pack. This module is that pipeline for a whole
+Mixtral-family decoder: a flat dict of dense arrays (the layout you get from
+`safetensors`/HF `state_dict`-style exports) becomes a `QuantizedTransformer`
+with every projection per-row INT4 planar-packed.
+
+The heavy per-row quantize+pack runs through the native C++ packer
+(`fused4bit_tpu.native`, OpenMP) when available — the reference's own MoE
+packer is a Python loop (`python/moe_int4_module.py:62-76`); multi-GB
+checkpoints need better.
+
+Expected key schema (HF-Mixtral-like, `{L}` = layer index, `{E}` = expert):
+  embed.weight                                  [V, H]
+  layers.{L}.attn_norm.weight                   [H]
+  layers.{L}.attn.{q,k,v,o}_proj.weight         [*, *]
+  layers.{L}.moe_norm.weight                    [H]
+  layers.{L}.moe.router.weight                  [E, H]
+  layers.{L}.moe.experts.{E}.{w1,w2,w3}.weight  (w1=gate [F,H], w2=down [H,F], w3=up [F,H])
+  final_norm.weight                             [H]
+  lm_head.weight                                [V, H]
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import native
+from ..layers.linear import QuantizedLinear
+from ..layers.moe import MoEINT4
+from ..quant.core import QuantizedTensor
+from .config import ModelConfig
+from .transformer import Attention, MoEBlock, QuantizedTransformer, TransformerBlock
+
+__all__ = ["quantize_dense_2d", "convert_checkpoint"]
+
+
+def quantize_dense_2d(w: np.ndarray) -> QuantizedTensor:
+    """Per-row INT4 planar quantization of a dense [N, K] array via the
+    native packer (NumPy fallback inside)."""
+    w = np.asarray(w, np.float32)
+    packed, scales, zps = native.quantize_pack_planar(w)
+    return QuantizedTensor(
+        packed=jnp.asarray(packed),
+        scales=jnp.asarray(scales),
+        zero_points=jnp.asarray(zps),
+        shape=tuple(w.shape),
+        granularity="per_row",
+        layout="planar",
+        block_k=w.shape[1],
+    )
+
+
+def _qlinear(w: np.ndarray) -> QuantizedLinear:
+    return QuantizedLinear(weight=quantize_dense_2d(w))
+
+
+def _stack_experts(get: Callable[[int], np.ndarray], num: int) -> QuantizedTensor:
+    """Quantize each expert with the native packer and stack [E, N, K/2]."""
+    packed, scales, zps = [], [], []
+    shape = None
+    for e in range(num):
+        w = np.asarray(get(e), np.float32)
+        shape = w.shape
+        p, s, z = native.quantize_pack_planar(w)
+        packed.append(p)
+        scales.append(s)
+        zps.append(z)
+    return QuantizedTensor(
+        packed=jnp.asarray(np.stack(packed)),
+        scales=jnp.asarray(np.stack(scales)),
+        zero_points=jnp.asarray(np.stack(zps)),
+        shape=(num,) + tuple(shape),
+        granularity="per_row",
+        layout="planar",
+        block_k=shape[1],
+    )
+
+
+def convert_checkpoint(
+    params: Mapping[str, np.ndarray],
+    cfg: ModelConfig,
+    dtype=jnp.bfloat16,
+) -> QuantizedTransformer:
+    """Build an INT4 `QuantizedTransformer` from a flat dense-weight dict."""
+    hidden = cfg.num_heads * cfg.head_dim
+    blocks = []
+    for layer in range(cfg.num_layers):
+        pre = f"layers.{layer}"
+        attn = Attention(
+            wq=_qlinear(params[f"{pre}.attn.q_proj.weight"]),
+            wk=_qlinear(params[f"{pre}.attn.k_proj.weight"]),
+            wv=_qlinear(params[f"{pre}.attn.v_proj.weight"]),
+            wo=_qlinear(params[f"{pre}.attn.o_proj.weight"]),
+            num_heads=cfg.num_heads,
+            num_kv_heads=cfg.num_kv_heads,
+            head_dim=cfg.head_dim,
+            rope_theta=cfg.rope_theta,
+        )
+        e = cfg.moe.num_experts
+        moe = MoEBlock(
+            router=_qlinear(params[f"{pre}.moe.router.weight"]),
+            w_gate=MoEINT4(weight=_stack_experts(
+                lambda i: params[f"{pre}.moe.experts.{i}.w1.weight"], e)),
+            w_up=MoEINT4(weight=_stack_experts(
+                lambda i: params[f"{pre}.moe.experts.{i}.w3.weight"], e)),
+            w_down=MoEINT4(weight=_stack_experts(
+                lambda i: params[f"{pre}.moe.experts.{i}.w2.weight"], e)),
+            num_experts=e,
+            top_k=cfg.moe.top_k,
+        )
+        blocks.append(
+            TransformerBlock(
+                attn_norm=jnp.asarray(params[f"{pre}.attn_norm.weight"], dtype),
+                attn=attn,
+                moe_norm=jnp.asarray(params[f"{pre}.moe_norm.weight"], dtype),
+                moe=moe,
+                rms_eps=cfg.rms_eps,
+            )
+        )
+    return QuantizedTransformer(
+        embed=jnp.asarray(params["embed.weight"], dtype),
+        blocks=tuple(blocks),
+        final_norm=jnp.asarray(params["final_norm.weight"], dtype),
+        lm_head=_qlinear(params["lm_head.weight"]),
+        rms_eps=cfg.rms_eps,
+    )

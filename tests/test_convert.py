@@ -1,0 +1,90 @@
+"""Checkpoint conversion + flax compat tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fused4bit_tpu.models.config import flagship_model_config
+from fused4bit_tpu.models.convert import convert_checkpoint, quantize_dense_2d
+from fused4bit_tpu.quant import dequantize, quantize
+
+
+def synthetic_checkpoint(cfg, rng):
+    hidden = cfg.num_heads * cfg.head_dim
+    hd, nh, nkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
+    e, f = cfg.moe.num_experts, cfg.moe.ffn_dim
+    p = {}
+    p["embed.weight"] = rng.standard_normal((cfg.vocab_size, hidden)) * 0.02
+    p["final_norm.weight"] = np.ones(hidden)
+    p["lm_head.weight"] = rng.standard_normal((cfg.vocab_size, hidden)) * 0.02
+    for L in range(cfg.num_layers):
+        pre = f"layers.{L}"
+        p[f"{pre}.attn_norm.weight"] = np.ones(hidden)
+        p[f"{pre}.moe_norm.weight"] = np.ones(hidden)
+        p[f"{pre}.attn.q_proj.weight"] = rng.standard_normal((nh * hd, hidden)) * 0.02
+        p[f"{pre}.attn.k_proj.weight"] = rng.standard_normal((nkv * hd, hidden)) * 0.02
+        p[f"{pre}.attn.v_proj.weight"] = rng.standard_normal((nkv * hd, hidden)) * 0.02
+        p[f"{pre}.attn.o_proj.weight"] = rng.standard_normal((hidden, nh * hd)) * 0.02
+        p[f"{pre}.moe.router.weight"] = rng.standard_normal((e, hidden)) * 0.02
+        for E in range(e):
+            p[f"{pre}.moe.experts.{E}.w1.weight"] = rng.standard_normal((f, hidden)) * 0.02
+            p[f"{pre}.moe.experts.{E}.w3.weight"] = rng.standard_normal((f, hidden)) * 0.02
+            p[f"{pre}.moe.experts.{E}.w2.weight"] = rng.standard_normal((hidden, f)) * 0.02
+    return p
+
+
+class TestConvert:
+    def test_quantize_dense_2d_matches_jax_quantizer(self, rng):
+        w = rng.standard_normal((64, 256)).astype(np.float32)
+        qt_native = quantize_dense_2d(w)
+        qt_jax = quantize(jnp.asarray(w), layout="planar")
+        assert jnp.array_equal(qt_native.packed, qt_jax.packed)
+        np.testing.assert_allclose(
+            np.asarray(qt_native.scales), np.asarray(qt_jax.scales), rtol=1e-6
+        )
+
+    def test_convert_and_run(self, rng):
+        cfg = flagship_model_config("tiny")
+        params = synthetic_checkpoint(cfg, rng)
+        model = convert_checkpoint(params, cfg)
+        caches = model.init_cache(cfg, 1, 16)
+        toks = jnp.asarray([[1, 2, 3]], jnp.int32)
+        logits, _ = model(toks, caches, jnp.arange(3))
+        assert logits.shape == (1, 3, cfg.vocab_size)
+        assert not bool(jnp.any(jnp.isnan(logits)))
+
+    def test_converted_weights_roundtrip(self, rng):
+        cfg = flagship_model_config("tiny")
+        params = synthetic_checkpoint(cfg, rng)
+        model = convert_checkpoint(params, cfg)
+        w0 = params["layers.0.moe.experts.0.w1.weight"].astype(np.float32)
+        got = np.asarray(dequantize(model.blocks[0].moe.w_gate.weight))[0]
+        assert np.max(np.abs(got - w0)) < 0.05  # scale ~0.02*range/15
+
+
+class TestFlaxCompat:
+    def test_quantized_dense(self, rng):
+        import flax.linen as nn  # noqa: F401
+        from fused4bit_tpu.layers.flax_compat import QuantizedDense
+
+        m = QuantizedDense(features=64)
+        x = jnp.asarray(rng.standard_normal((4, 128)), jnp.float32)
+        variables = m.init(jax.random.PRNGKey(0), x)
+        y = m.apply(variables, x)
+        assert y.shape == (4, 64)
+        assert "quantized" in variables
+        qt = variables["quantized"]["weight"]
+        assert qt.packed.dtype == jnp.uint8
+
+    def test_quantized_dense_bias_and_quality(self, rng):
+        from fused4bit_tpu.layers.flax_compat import QuantizedDense
+        from fused4bit_tpu.quant import dequantize
+
+        m = QuantizedDense(features=32, use_bias=True)
+        x = jnp.asarray(rng.standard_normal((8, 64)), jnp.float32)
+        variables = m.init(jax.random.PRNGKey(1), x)
+        y = m.apply(variables, x)
+        qt = variables["quantized"]["weight"]
+        w = dequantize(qt)
+        want = x @ w.T + variables["params"]["bias"]
+        np.testing.assert_allclose(np.asarray(y), np.asarray(want), atol=1e-3)
