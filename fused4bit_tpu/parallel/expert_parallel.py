@@ -32,7 +32,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..layers.moe import (
     RoutingResult,
@@ -113,7 +113,7 @@ def moe_ep_replicated(
         P(axis, None, None), P(axis, None), P(axis, None),
     )
     return shard_map(
-        body, mesh=mesh, in_specs=specs_in, out_specs=P(), check_rep=False,
+        body, mesh=mesh, in_specs=specs_in, out_specs=P(), check_vma=False,
     )(x, router_logits, qt.packed, qt.scales, qt.zero_points)
 
 
@@ -231,7 +231,7 @@ def moe_ep_a2a(
     )
     return shard_map(
         body, mesh=mesh, in_specs=specs_in, out_specs=P(axis, None),
-        check_rep=False,
+        check_vma=False,
     )(x, router_logits, qt.packed, qt.scales, qt.zero_points)
 
 
@@ -272,5 +272,5 @@ def tp_int4_matmul(
     return shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(axis, None), P(axis), P(axis)),
-        out_specs=out_spec, check_rep=False,
+        out_specs=out_spec, check_vma=False,
     )(x, qt.packed, qt.scales, qt.zero_points)

@@ -19,7 +19,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..layers.moe import (
@@ -161,6 +161,6 @@ def sharded_decode_step(
         mesh=mesh,
         in_specs=(mspecs, dspec, cache_spec, dspec),
         out_specs=(dspec, cache_spec),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(model, tokens, caches, positions)

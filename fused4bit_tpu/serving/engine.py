@@ -70,13 +70,21 @@ class ServingEngine:
         prefill_bucket: int = 32,
         sampler: Sampler = Sampler(),
         seed: int = 0,
+        mesh=None,
+        interpret=None,
     ):
+        """`mesh`: run every forward through the fully sharded model step
+        (DP batch x EP experts, `parallel.sharded_model`). The model must
+        already be placed with `place_model`, and num_slots must divide by
+        the data-axis size."""
         self.model = model
         self.cfg = cfg
         self.num_slots = num_slots
         self.max_seq = max_seq
         self.prefill_bucket = prefill_bucket
         self.sampler = sampler
+        self.mesh = mesh
+        self.interpret = interpret
 
         self.caches = model.init_cache(cfg, num_slots, max_seq)
         self.queue: Deque[GenerationRequest] = deque()
@@ -90,13 +98,26 @@ class ServingEngine:
         self._key = jax.random.PRNGKey(seed)
 
         self._decode = jax.jit(self._decode_impl)
-        self._prefill = jax.jit(self._prefill_impl)
+        if mesh is None:
+            self._prefill = jax.jit(self._prefill_impl)
+        else:
+            self._prefill = jax.jit(self._prefill_sharded_impl)
+
+    def _forward(self, model, tokens, caches, positions):
+        if self.mesh is None:
+            return model(tokens, caches, positions)
+        from ..parallel.sharded_model import sharded_decode_step
+
+        return sharded_decode_step(
+            model, self.mesh, tokens, caches, positions,
+            interpret=self.interpret,
+        )
 
     # -- compiled programs --------------------------------------------------
 
     def _decode_impl(self, model, caches, cur, pos, key, active_mask):
         tokens = cur[:, None]
-        logits, caches = model(tokens, caches, pos[:, None])
+        logits, caches = self._forward(model, tokens, caches, pos[:, None])
         nxt = self.sampler.sample(logits[:, 0], key)
         # Inactive slots keep emitting token 0 at a parked position; their
         # cache writes land at their stale position and are masked by causal
@@ -131,6 +152,39 @@ class ServingEngine:
         # all positions' logits — the caller picks true_len-1 (the bucket tail
         # is right-padding junk)
         return logits[0], caches
+
+    def _prefill_sharded_impl(self, model, caches, prompt_row, slot, start_pos):
+        """Sharded prefill: run the FULL batch through the sharded step.
+
+        Batch-dim slicing fights the data sharding, so instead every slot
+        participates: the target row carries the padded prompt at positions
+        [0, bucket); other rows process dummy zeros at their own current
+        lengths. Afterwards every non-target row's length is rewound to its
+        previous value — the garbage its dummy pass appended sits above its
+        length and is overwritten by its next real decode step before being
+        read (same invariant as the right-pad rewind).
+        """
+        t = prompt_row.shape[0]
+        b = self.num_slots
+        old_lengths = caches[0].lengths
+        tokens = jnp.zeros((b, t), jnp.int32)
+        tokens = jax.lax.dynamic_update_slice(tokens, prompt_row[None, :], (slot, 0))
+        row_starts = jnp.where(
+            jnp.arange(b) == slot, jnp.zeros((), jnp.int32), old_lengths
+        )
+        positions = row_starts[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+        logits, caches = self._forward(model, tokens, caches, positions)
+        # rewind every non-target row to its previous length
+        caches = tuple(
+            dataclasses.replace(
+                c,
+                lengths=jnp.where(
+                    jnp.arange(b) == slot, c.lengths, old_lengths
+                ),
+            )
+            for c in caches
+        )
+        return logits[slot], caches
 
     # -- public API ----------------------------------------------------------
 

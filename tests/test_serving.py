@@ -108,3 +108,46 @@ class TestEngine:
         eng.submit(GenerationRequest(uid=0, prompt=[1], max_new_tokens=4))
         out = eng.run()
         assert len(out[0]) == 4
+
+
+class TestShardedEngine:
+    """Continuous batching over a DPxEP mesh (multi-chip serving config)."""
+
+    @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+    def test_sharded_engine_runs_and_recycles_slots(self, setup):
+        from fused4bit_tpu.parallel.mesh import make_mesh
+        from fused4bit_tpu.parallel.sharded_model import place_model
+
+        cfg, model = setup
+        mesh = make_mesh(("data", "expert"), (2, 4))
+        sm = place_model(model, mesh)
+        eng = ServingEngine(
+            sm, cfg, num_slots=2, max_seq=64, prefill_bucket=8,
+            mesh=mesh, interpret=True,
+        )
+        for uid in range(3):
+            eng.submit(GenerationRequest(uid=uid, prompt=[1 + uid, 2, 3],
+                                         max_new_tokens=3))
+        out = eng.run()
+        assert set(out) == {0, 1, 2}
+        assert all(len(v) == 3 for v in out.values())
+
+    @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+    def test_sharded_engine_first_token_matches_single_device(self, setup):
+        from fused4bit_tpu.parallel.mesh import make_mesh
+        from fused4bit_tpu.parallel.sharded_model import place_model
+
+        cfg, model = setup
+        prompt = [5, 7, 9]
+        eng1 = ServingEngine(model, cfg, num_slots=2, max_seq=64,
+                             prefill_bucket=4)
+        eng1.submit(GenerationRequest(uid=0, prompt=prompt, max_new_tokens=1))
+        first_single = eng1.run()[0][0]
+
+        mesh = make_mesh(("data", "expert"), (2, 4))
+        sm = place_model(model, mesh)
+        eng2 = ServingEngine(sm, cfg, num_slots=2, max_seq=64,
+                             prefill_bucket=4, mesh=mesh, interpret=True)
+        eng2.submit(GenerationRequest(uid=0, prompt=prompt, max_new_tokens=1))
+        first_sharded = eng2.run()[0][0]
+        assert first_sharded == first_single
