@@ -41,14 +41,16 @@ def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     q = jnp.clip(jnp.round(x / scale[..., None] + zp[..., None]), 0, _MAXQ)
     q = q.astype(jnp.uint8)
     half = x.shape[-1] // 2
-    packed = ((q[..., half:] << 4) | q[..., :half]).astype(jnp.uint8)
+    # Same planar + XOR-8 layout as the weight packer (quant.core.pack_planar)
+    # so the fused attention kernel can unpack with masks only.
+    packed = (((q[..., half:] ^ 0x8) << 4) | q[..., :half]).astype(jnp.uint8)
     return packed, scale.astype(jnp.float32), zp.astype(jnp.float32)
 
 
 def dequantize_kv(packed, scale, zp, dtype=jnp.float32) -> jnp.ndarray:
     """Inverse of :func:`quantize_kv`: [..., D/2] u8 -> [..., D]."""
     lo = (packed & 0x0F).astype(jnp.float32)
-    hi = (packed >> 4).astype(jnp.float32)
+    hi = ((packed >> 4) ^ 0x8).astype(jnp.float32)
     q = jnp.concatenate([lo, hi], axis=-1)
     return ((q - zp[..., None]) * scale[..., None]).astype(dtype)
 

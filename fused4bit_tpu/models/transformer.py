@@ -81,6 +81,9 @@ class Attention:
     num_kv_heads: int = dataclasses.field(metadata=dict(static=True))
     head_dim: int = dataclasses.field(metadata=dict(static=True))
     rope_theta: float = dataclasses.field(metadata=dict(static=True))
+    use_fused_attention: bool = dataclasses.field(
+        metadata=dict(static=True), default=True
+    )
 
     @classmethod
     def init(cls, key, cfg: ModelConfig, hidden: int):
@@ -113,6 +116,17 @@ class Attention:
 
         # Cache index == sequence position: row b writes at positions[b, 0].
         cache = cache.append(k, v, start=positions[:, 0])
+
+        if t == 1 and self.use_fused_attention:
+            # Decode step: fused kernel reads the packed INT4 cache directly
+            # (never materializes bf16 K/V). Correct when each row's history
+            # is contiguous below its length (positions[:, 0] == length-1).
+            from ..ops.decode_attention import int4_decode_attention
+
+            out = int4_decode_attention(q[:, :, 0, :], cache)  # [B, nh, D]
+            out = out.reshape(b, 1, nh * hd)
+            return self.wo(out), cache
+
         kd, vd = cache.dequantize(dtype=q.dtype)  # [B, nkv, S, D]
 
         # GQA: repeat kv heads to match query heads.

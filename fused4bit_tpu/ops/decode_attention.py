@@ -1,0 +1,213 @@
+"""Fused INT4-KV decode attention Pallas kernel (flash-decoding style).
+
+The capability the reference only motivates ("KV cache quantization -> 8x
+memory savings", `/root/reference/README.md:112`) taken to its conclusion:
+attention that reads the *packed* INT4 KV cache straight from HBM and
+dequantizes inside the kernel — the cache is never materialized in bf16, so
+long-context decode streams 4x fewer KV bytes (the same argument as the
+weight kernel, applied to the other big HBM consumer at decode time).
+
+Decode-only (query time-step T=1), GQA-aware: grid over
+(batch, kv_head, seq_tiles); each program advances one kv head's whole group
+of query heads over one S-tile of the cache with the standard online-softmax
+(flash) recurrence in VMEM scratch:
+
+  k_t = (lo - zp_k) * s_k ; v_t likewise     (mask-only unpack, XOR-8 high
+                                              nibble — quant.core.pack_planar)
+  s_t   = q_g @ k_t^T / sqrt(D)  masked to s < length
+  m'    = max(m, max(s_t));  a = exp(m - m')
+  l'    = a*l + sum(exp(s_t - m'))
+  acc'  = a*acc + exp(s_t - m') @ v_t
+
+S-tiling keeps VMEM bounded at any context length (a whole 4k+ cache head
+does not fit the 16MB VMEM dequantized). Lengths arrive via scalar prefetch;
+tiles entirely past a row's length contribute exactly zero (masked).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["int4_decode_attention"]
+
+_NEG_INF = -1e30
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _dequant_rows(p, zp_col, s_col, compute_dtype):
+    """Packed [St, D/2] + per-row scale/zp -> dense [St, D] in compute_dtype.
+
+    Dequantizes in f32 and casts once at the end, matching the golden
+    `dequantize_kv` bit-for-bit (stepwise bf16 rounding would diverge).
+    """
+    lo = (p & 0x0F).astype(jnp.int8).astype(jnp.float32)
+    vhi = pltpu.bitcast(p & 0xF0, jnp.int8).astype(jnp.float32)
+    hi = vhi * 0.0625 + 8.0
+    lo_d = (lo - zp_col) * s_col
+    hi_d = (hi - zp_col) * s_col
+    return jnp.concatenate([lo_d, hi_d], axis=-1).astype(compute_dtype)
+
+
+def _attn_kernel(
+    len_ref,      # [B] i32 (scalar prefetch)
+    q_ref,        # [1, 1, G, D]
+    kp_ref,       # [1, 1, St, D/2] u8
+    ks_ref,       # [1, 1, St, 1] f32
+    kz_ref,       # [1, 1, St, 1] f32
+    vp_ref,       # [1, 1, St, D/2] u8
+    vs_ref,       # [1, 1, St, 1] f32
+    vz_ref,       # [1, 1, St, 1] f32
+    o_ref,        # [1, 1, G, D]
+    m_ref,        # [G, 1] f32 scratch: running max
+    l_ref,        # [G, 1] f32 scratch: running denom
+    acc_ref,      # [G, D] f32 scratch: running numerator
+    *,
+    head_dim: int,
+    s_tile: int,
+    n_s: int,
+    compute_dtype,
+):
+    b = pl.program_id(0)
+    t = pl.program_id(2)
+    length = len_ref[b]
+
+    @pl.when(t == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # Only tiles overlapping [0, length) contribute.
+    @pl.when(t * s_tile < length)
+    def _tile():
+        k = _dequant_rows(kp_ref[0, 0], kz_ref[0, 0], ks_ref[0, 0], compute_dtype)
+        q = q_ref[0, 0].astype(compute_dtype)  # [G, D]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * (1.0 / (head_dim ** 0.5))  # [G, St]
+        span = t * s_tile + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(span < length, scores, _NEG_INF)
+
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)          # [G, 1]
+        p = jnp.exp(scores - m_new)              # [G, St] f32
+        l_ref[:] = alpha * l_ref[:] + jnp.sum(p, axis=1, keepdims=True)
+        v = _dequant_rows(vp_ref[0, 0], vz_ref[0, 0], vs_ref[0, 0], compute_dtype)
+        pv = jax.lax.dot_general(
+            p.astype(compute_dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] = alpha * acc_ref[:] + pv
+        m_ref[:] = m_new
+
+    @pl.when(t == n_s - 1)
+    def _finish():
+        o_ref[0, 0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("s_tile", "compute_dtype", "out_dtype", "interpret")
+)
+def _attn_call(
+    q4, lengths, kp, ks, kz, vp, vs, vz,
+    *, s_tile, compute_dtype, out_dtype, interpret,
+):
+    b, h_kv, g, d = q4.shape
+    s_max = kp.shape[2]
+    n_s = s_max // s_tile
+    kernel = functools.partial(
+        _attn_kernel,
+        head_dim=d, s_tile=s_tile, n_s=n_s, compute_dtype=compute_dtype,
+    )
+
+    def vec():
+        return pl.BlockSpec(
+            (1, 1, s_tile, 1), lambda i, j, t, L: (i, j, t, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def pk():
+        return pl.BlockSpec(
+            (1, 1, s_tile, d // 2), lambda i, j, t, L: (i, j, t, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, h_kv, n_s),
+        in_specs=[
+            pl.BlockSpec((1, 1, g, d), lambda i, j, t, L: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pk(), vec(), vec(), pk(), vec(), vec(),
+        ],
+        out_specs=pl.BlockSpec((1, 1, g, d), lambda i, j, t, L: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((g, 1), jnp.float32),
+            pltpu.VMEM((g, 1), jnp.float32),
+            pltpu.VMEM((g, d), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h_kv, g, d), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        lengths.astype(jnp.int32), q4, kp,
+        ks[..., None], kz[..., None], vp, vs[..., None], vz[..., None],
+    )
+
+
+def int4_decode_attention(
+    q: jnp.ndarray,        # [B, Hq, D] — single decode step (post-RoPE)
+    cache,                 # QuantizedKVCache (lengths INCLUDE the new step)
+    *,
+    s_tile: int = 512,
+    compute_dtype=jnp.bfloat16,
+    out_dtype=None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Attention over the packed INT4 KV cache for one decode step.
+
+    Returns [B, Hq, D]. The current step's K/V must already be appended
+    (cache index == position; entry `length-1` is the current step, so the
+    causal mask is simply `s < length`).
+    """
+    b, hq, d = q.shape
+    h_kv = cache.k_packed.shape[1]
+    g = hq // h_kv
+    if g * h_kv != hq:
+        raise ValueError(f"Hq={hq} not a multiple of Hkv={h_kv}")
+    if interpret is None:
+        interpret = not _on_tpu()
+    if out_dtype is None:
+        out_dtype = q.dtype
+    s_max = cache.max_seq
+    st = min(s_tile, s_max)
+    while s_max % st != 0:
+        st //= 2
+    q4 = q.reshape(b, h_kv, g, d)
+    out = _attn_call(
+        q4, cache.lengths,
+        cache.k_packed, cache.k_scale, cache.k_zp,
+        cache.v_packed, cache.v_scale, cache.v_zp,
+        s_tile=st, compute_dtype=compute_dtype, out_dtype=out_dtype,
+        interpret=interpret,
+    )
+    return out.reshape(b, hq, d)

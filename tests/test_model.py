@@ -173,3 +173,61 @@ class TestDenseTwin:
         cfg, m = model
         dense = dense_from_quantized(m)
         assert dense.nbytes / m.nbytes > 2.0  # embed tables dilute the 4x
+
+
+class TestFusedDecodeAttention:
+    def test_kernel_matches_jnp_attention(self, rng, model):
+        """Fused INT4-KV attention vs the dequantize+einsum path."""
+        import dataclasses
+        from fused4bit_tpu.layers.kv_cache import QuantizedKVCache
+        from fused4bit_tpu.ops.decode_attention import int4_decode_attention
+
+        b, hkv, hq, d, s = 2, 2, 4, 64, 32
+        cache = QuantizedKVCache.init(b, hkv, s, d)
+        k = jnp.asarray(rng.standard_normal((b, hkv, 7, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, hkv, 7, d)), jnp.float32)
+        cache = cache.append(k, v)
+        q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.bfloat16)
+
+        got = int4_decode_attention(q, cache)
+
+        kd, vd = cache.dequantize(jnp.bfloat16)
+        rep = hq // hkv
+        kd = jnp.repeat(kd, rep, axis=1)
+        vd = jnp.repeat(vd, rep, axis=1)
+        scores = jnp.einsum("bhd,bhsd->bhs", q, kd) / jnp.sqrt(float(d))
+        mask = jnp.arange(s)[None, None, :] < cache.lengths[:, None, None]
+        scores = jnp.where(mask, scores.astype(jnp.float32), -1e30)
+        probs = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
+        want = jnp.einsum("bhs,bhsd->bhd", probs, vd)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=0.03, rtol=0.05,
+        )
+
+    def test_per_row_lengths_masking(self, rng):
+        """Rows with different lengths must mask independently."""
+        from fused4bit_tpu.layers.kv_cache import QuantizedKVCache
+        from fused4bit_tpu.ops.decode_attention import int4_decode_attention
+        import dataclasses
+
+        b, hkv, d, s = 2, 1, 64, 16
+        cache = QuantizedKVCache.init(b, hkv, s, d)
+        k = jnp.asarray(rng.standard_normal((b, hkv, 8, d)), jnp.float32)
+        cache = cache.append(k, k)
+        # row 0 keeps 3 entries, row 1 keeps 8
+        cache = dataclasses.replace(cache, lengths=jnp.asarray([3, 8], jnp.int32))
+        q = jnp.asarray(rng.standard_normal((b, 2, d)), jnp.float32)
+        out = int4_decode_attention(q, cache)
+        # recompute row 0 with a cache whose extra entries are WILD garbage:
+        # if masking works, the result is unchanged
+        poison = dataclasses.replace(
+            cache,
+            v_scale=cache.v_scale.at[0, :, 3:].set(1e6),
+            lengths=jnp.asarray([3, 8], jnp.int32),
+        )
+        out2 = int4_decode_attention(q, poison)
+        np.testing.assert_allclose(
+            np.asarray(out[0], np.float32), np.asarray(out2[0], np.float32),
+            rtol=1e-5,
+        )
