@@ -25,7 +25,13 @@ from .quant import (  # noqa: F401
     reference_linear_qt,
     reference_quantized_linear,
 )
-from .ops.int4_matmul import int4_matmul, quantized_linear  # noqa: F401
+from .ops.int4_matmul import (  # noqa: F401
+    int4_matmul,
+    int4_matmul_a8,
+    int4_matmul_per_group,
+    quantized_linear,
+)
+from .ops.decode_attention import int4_decode_attention  # noqa: F401
 from .ops.grouped_matmul import grouped_int4_matmul  # noqa: F401
 from .layers.linear import QuantizedLinear  # noqa: F401
 from .layers.moe import (  # noqa: F401
@@ -50,6 +56,9 @@ __all__ = [
     "reference_quantized_linear",
     "reference_linear_qt",
     "int4_matmul",
+    "int4_matmul_a8",
+    "int4_matmul_per_group",
+    "int4_decode_attention",
     "quantized_linear",
     "grouped_int4_matmul",
     "QuantizedLinear",
