@@ -360,18 +360,14 @@ def quantized_linear(x, qt: QuantizedTensor, **kw):
 def _int4_group_kernel(
     x_ref,        # [TM, K]
     w_ref,        # [TN, K/2] u8 planar (single k-tile)
-    s_ref,        # [1, TN, G] f32
-    z_ref,        # [1, TN, G] f32
+    s_ref,        # [G, TN, 1] f32 (pre-columnized: no in-kernel transposes)
+    z_ref,        # [G, TN, 1] f32
     o_ref,        # [TM, TN]
     *,
     k_half: int,
     group_size: int,
     compute_dtype,
 ):
-    p = w_ref[:]
-    lo_all = (p & 0x0F).astype(jnp.int8).astype(compute_dtype)
-    vhi_all = pltpu.bitcast(p & 0xF0, jnp.int8).astype(compute_dtype)
-
     prec = (
         jax.lax.Precision.HIGHEST
         if compute_dtype == jnp.float32
@@ -382,24 +378,29 @@ def _int4_group_kernel(
     acc = jnp.zeros((x_ref.shape[0], o_ref.shape[1]), jnp.float32)
     for g in range(n_groups_half):
         sl = slice(g * group_size, (g + 1) * group_size)
-        zp_lo = z_ref[0, :, g][:, None].astype(compute_dtype)
-        qlo = lo_all[:, sl] - zp_lo
+        # Unpack one group at a time — whole-tile f32 temporaries would
+        # overrun the 16MB VMEM at production tile sizes.
+        p_g = w_ref[:, sl]
+        zp_lo = z_ref[g, :, :].astype(compute_dtype)  # [TN, 1]
+        qlo = (p_g & 0x0F).astype(jnp.int8).astype(compute_dtype) - zp_lo
         x_lo = x_ref[:, sl].astype(compute_dtype)
         d_lo = jax.lax.dot_general(
             x_lo, qlo, dims, preferred_element_type=jnp.float32, precision=prec
         )
-        acc += s_ref[0, :, g][None, :] * d_lo
+        acc += s_ref[g, :, 0][None, :] * d_lo
 
         gh = n_groups_half + g  # group index of the hi-half twin columns
-        zp_hi = z_ref[0, :, gh][:, None].astype(compute_dtype)
+        zp_hi = z_ref[gh, :, :].astype(compute_dtype)  # [TN, 1]
         # vhi = 16*(q_hi - 8)  ->  q_hi - zp = vhi/16 + (8 - zp)
-        vhi = vhi_all[:, sl] - 16.0 * (zp_hi - 8.0)
+        vhi = pltpu.bitcast(p_g & 0xF0, jnp.int8).astype(compute_dtype) - 16.0 * (
+            zp_hi - 8.0
+        )
         x_hi = x_ref[:, k_half + g * group_size : k_half + (g + 1) * group_size]
         d_hi = jax.lax.dot_general(
             x_hi.astype(compute_dtype), vhi, dims,
             preferred_element_type=jnp.float32, precision=prec,
         )
-        acc += (0.0625 * s_ref[0, :, gh])[None, :] * d_hi
+        acc += (0.0625 * s_ref[gh, :, 0])[None, :] * d_hi
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
@@ -415,7 +416,7 @@ def _int4_group_padded(
 ):
     m, k = x.shape
     n, k_half = packed.shape
-    g = scales.shape[-1]
+    g = scales.shape[0]
     grid = (m // tile_m, n // tile_n)
     kernel = functools.partial(
         _int4_group_kernel,
@@ -427,8 +428,8 @@ def _int4_group_padded(
         in_specs=[
             pl.BlockSpec((tile_m, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, k_half), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n, g), lambda i, j: (0, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n, g), lambda i, j: (0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, tile_n, 1), lambda i, j: (0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, tile_n, 1), lambda i, j: (0, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (tile_m, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM
@@ -438,7 +439,7 @@ def _int4_group_padded(
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
-    )(x, packed, scales[None], zps[None])
+    )(x, packed, scales.T[:, :, None], zps.T[:, :, None])
 
 
 def int4_matmul_per_group(
