@@ -128,11 +128,14 @@ def run_once(cfg, num_tokens, distribution, warmup, iters, tile_m, verify, impls
     if verify and "int4" in outputs:
         got = combine(outputs["int4"], env["routing"], env["plan"])
         wd = dequantize(env["qt"], dtype=jnp.float32)
-        we = wd[env["routing"].expert_indices]
+        # all-experts outputs then gather: avoids the [T,k,N,K] weight gather
+        # (56 GB at Mixtral scale)
+        all_out = jnp.einsum("th,enh->ten", env["x"].astype(jnp.float32), wd)
+        sel = jnp.take_along_axis(
+            all_out, env["routing"].expert_indices[..., None], axis=1
+        )  # [T, k, N]
         want = jnp.sum(
-            jnp.einsum("tk,tenk->ten", env["x"].astype(jnp.float32), we)
-            * env["routing"].expert_weights[..., None],
-            axis=1,
+            sel * env["routing"].expert_weights[..., None], axis=1
         )
         err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - want)))
         rel = err / float(jnp.max(jnp.abs(want)))
