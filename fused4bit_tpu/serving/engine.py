@@ -169,8 +169,12 @@ class ServingEngine:
         old_lengths = caches[0].lengths
         tokens = jnp.zeros((b, t), jnp.int32)
         tokens = jax.lax.dynamic_update_slice(tokens, prompt_row[None, :], (slot, 0))
+        # Dummy rows write into the reserved tail scratch region
+        # [max_seq - bucket, max_seq) — never into live history (active rows
+        # are budget-capped below max_seq - bucket in mesh mode, see _admit).
+        park = jnp.int32(self.max_seq - t)
         row_starts = jnp.where(
-            jnp.arange(b) == slot, jnp.zeros((), jnp.int32), old_lengths
+            jnp.arange(b) == slot, jnp.zeros((), jnp.int32), park
         )
         positions = row_starts[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
         logits, caches = self._forward(model, tokens, caches, positions)
@@ -220,8 +224,13 @@ class ServingEngine:
             self.generated[req.uid] = [nxt]
             self._cur[slot] = nxt
             self._pos[slot] = true_len
-            self._remaining[slot] = req.max_new_tokens - 1
-            if req.max_new_tokens <= 1 or nxt == req.eos_token:
+            # Never let a slot write past max_seq: dynamic_update_slice would
+            # silently clamp and corrupt the cache tail. Budget = positions
+            # left after the prompt, minus 1 for the step in flight.
+            reserved = self.prefill_bucket if self.mesh is not None else 0
+            budget = self.max_seq - true_len - 1 - reserved
+            self._remaining[slot] = min(req.max_new_tokens - 1, budget)
+            if self._remaining[slot] <= 0 or nxt == req.eos_token:
                 self._retire(slot)
 
     def _retire(self, slot: int) -> None:
