@@ -9,8 +9,6 @@ compute path is the fused Pallas kernel.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
@@ -22,7 +20,7 @@ except Exception:  # pragma: no cover
     _FLAX = False
 
 from ..ops.int4_matmul import int4_matmul
-from ..quant.core import QuantizedTensor, quantize
+from ..quant.core import quantize
 
 __all__ = ["QuantizedDense"]
 

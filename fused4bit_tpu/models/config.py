@@ -10,7 +10,7 @@ the decode model, not just the MoE-layer benchmark.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List
 
 __all__ = [
     "MoEConfig",

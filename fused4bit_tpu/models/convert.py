@@ -24,9 +24,8 @@ Expected key schema (HF-Mixtral-like, `{L}` = layer index, `{E}` = expert):
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Mapping
+from typing import Callable, Mapping
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -14,7 +14,7 @@ Weights live packed INT4 in HBM end to end.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

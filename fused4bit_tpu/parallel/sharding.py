@@ -8,10 +8,7 @@ metadata follows the N dim; per-expert metadata follows the E dim).
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..quant.core import QuantizedTensor

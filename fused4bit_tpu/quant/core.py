@@ -42,7 +42,6 @@ the last axis, mirroring how the reference stacks MoE expert weights
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Literal, Optional, Tuple
 
 import jax

@@ -10,7 +10,7 @@ virtualized chips is the honest denominator).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Optional
 
 __all__ = ["ChipSpec", "TPU_V5E", "linear_roofline", "RooflineReport"]
 
