@@ -42,6 +42,7 @@ __all__ = [
     "topk_route",
     "simulate_router_logits",
     "make_dispatch_plan",
+    "make_capacity_plan",
     "dispatch",
     "combine",
     "MoEINT4",
@@ -125,6 +126,38 @@ class DispatchPlan:
     tile_m: int = dataclasses.field(metadata=dict(static=True))
 
 
+def make_capacity_plan(
+    routing: RoutingResult, num_experts: int, capacity: int, tile_m: int = 16
+) -> DispatchPlan:
+    """Capacity-mode plan: every expert owns a fixed [capacity] segment.
+
+    Switch/GShard semantics — pairs beyond an expert's capacity are DROPPED
+    (their rows point out of bounds; `dispatch` discards them and `combine`
+    contributes zero). The payoff is a fully static [E, C, H] layout: the
+    buffer reshapes to per-expert blocks, which is what the dense einsum
+    ("bmm") baselines and prefill-regime execution want. Use
+    :func:`make_dispatch_plan` for the dropless tile-packed layout instead.
+    """
+    if capacity % tile_m != 0:
+        raise ValueError(f"capacity={capacity} must be a multiple of tile_m={tile_m}")
+    flat_ids = routing.expert_indices.reshape(-1)  # [T*k]
+    sort_idx = jnp.argsort(flat_ids, stable=True)
+    ranks_sorted = (
+        jnp.arange(flat_ids.shape[0], dtype=jnp.int32)
+        - routing.expert_token_offsets[flat_ids[sort_idx]]
+    )
+    ranks = jnp.zeros_like(flat_ids).at[sort_idx].set(ranks_sorted)
+    t_pad = num_experts * capacity
+    # overflow pairs index out of bounds -> dropped by mode="drop" scatters
+    rows = jnp.where(
+        ranks < capacity, flat_ids * capacity + ranks, t_pad
+    ).astype(jnp.int32)
+    tile_group_ids = jnp.repeat(
+        jnp.arange(num_experts, dtype=jnp.int32), capacity // tile_m
+    )
+    return DispatchPlan(rows, tile_group_ids, t_pad, tile_m)
+
+
 def make_dispatch_plan(
     routing: RoutingResult, num_experts: int, tile_m: int = 64
 ) -> DispatchPlan:
@@ -183,7 +216,9 @@ def dispatch(x: jnp.ndarray, routing: RoutingResult, plan: DispatchPlan) -> jnp.
     k = routing.expert_indices.shape[1]
     x_rep = jnp.repeat(x, k, axis=0)  # token-major [T*k, H]
     buf = jnp.zeros((plan.t_pad, h), x.dtype)
-    return buf.at[plan.rows].set(x_rep)
+    # mode="drop": capacity-mode plans mark overflow pairs with
+    # out-of-bounds rows (make_capacity_plan) — they are discarded here.
+    return buf.at[plan.rows].set(x_rep, mode="drop")
 
 
 def combine(
@@ -192,7 +227,8 @@ def combine(
     """Gather back to token order and weight-sum over top-k
     (`routing.py:174-189`)."""
     t, k = routing.expert_weights.shape
-    per_pair = expert_out[plan.rows]  # [T*k, N]
+    # mode="fill": dropped pairs (out-of-bounds rows) contribute zero.
+    per_pair = expert_out.at[plan.rows].get(mode="fill", fill_value=0)  # [T*k, N]
     per_pair = per_pair.reshape(t, k, -1)
     w = routing.expert_weights.astype(per_pair.dtype)[..., None]
     return jnp.sum(per_pair * w, axis=1)

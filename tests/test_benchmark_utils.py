@@ -78,3 +78,30 @@ class TestResults:
                 y = int4_matmul(x, qt)
                 assert y.shape == (m, n)
                 assert not bool(jnp.any(jnp.isnan(y)))
+
+
+class TestProfiling:
+    def test_stopwatch(self):
+        import time as _t
+        from fused4bit_tpu.utils.profiling import Stopwatch
+
+        sw = Stopwatch()
+        with sw.section("a"):
+            _t.sleep(0.01)
+        with sw.section("b"):
+            _t.sleep(0.005)
+        rep = sw.report()
+        assert "a" in rep and "b" in rep
+        assert sw.sections["a"] >= 0.01
+
+    def test_trace_degrades_gracefully(self, tmp_path):
+        from fused4bit_tpu.utils.profiling import trace
+
+        with trace(str(tmp_path / "prof")):
+            _ = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+
+    def test_annotate(self):
+        from fused4bit_tpu.utils.profiling import annotate
+
+        with annotate("region"):
+            _ = jnp.ones((4,)) + 1

@@ -189,3 +189,56 @@ class TestGroupedKernel:
         assert qt.scales.shape == (E,)
         err = jnp.max(jnp.abs(dequantize(qt) - w))
         assert float(err) < 0.8
+
+
+class TestCapacityPlan:
+    def test_capacity_layout_is_per_expert_blocks(self, rng):
+        from fused4bit_tpu.layers.moe import make_capacity_plan
+
+        r = topk_route(randw(rng, T, E), TOPK, E)
+        cap = 24
+        plan = make_capacity_plan(r, E, capacity=cap, tile_m=8)
+        assert plan.t_pad == E * cap
+        rows = np.asarray(plan.rows)
+        ids = np.asarray(r.expert_indices.reshape(-1))
+        for p_, e_ in zip(rows, ids):
+            if p_ < plan.t_pad:  # kept
+                assert e_ * cap <= p_ < (e_ + 1) * cap
+
+    def test_capacity_matches_dropless_with_ample_capacity(self, rng):
+        from fused4bit_tpu.layers.moe import make_capacity_plan
+
+        w = randw(rng, E, N, K)
+        qt = quantize(w, layout="planar")
+        x = randw(rng, T, K)
+        r = topk_route(randw(rng, T, E), TOPK, E)
+
+        plan_d = make_dispatch_plan(r, E, tile_m=TILE_M)
+        y_d = combine(
+            grouped_int4_matmul(dispatch(x, r, plan_d), plan_d.tile_group_ids,
+                                qt, tile_m=TILE_M), r, plan_d)
+
+        cap = size = 72  # > any group, multiple of tile_m
+        from fused4bit_tpu.layers.moe import make_capacity_plan
+        plan_c = make_capacity_plan(r, E, capacity=cap, tile_m=TILE_M)
+        y_c = combine(
+            grouped_int4_matmul(dispatch(x, r, plan_c), plan_c.tile_group_ids,
+                                qt, tile_m=TILE_M), r, plan_c)
+        np.testing.assert_allclose(np.asarray(y_c), np.asarray(y_d), atol=1e-3)
+
+    def test_capacity_drops_overflow_gracefully(self, rng):
+        from fused4bit_tpu.layers.moe import make_capacity_plan
+
+        w = randw(rng, E, N, K)
+        qt = quantize(w, layout="planar")
+        x = randw(rng, T, K)
+        logits = jnp.zeros((T, E)).at[:, 0].set(50.0)  # all to expert 0
+        r = topk_route(logits, 1, E)
+        plan = make_capacity_plan(r, E, capacity=8, tile_m=8)  # only 8 kept
+        y = combine(
+            grouped_int4_matmul(dispatch(x, r, plan), plan.tile_group_ids,
+                                qt, tile_m=8), r, plan)
+        arr = np.asarray(y)
+        assert not np.any(np.isnan(arr))
+        assert np.abs(arr[:8]).sum() > 0       # kept tokens computed
+        assert np.abs(arr[8:]).sum() == 0      # dropped tokens -> zero
