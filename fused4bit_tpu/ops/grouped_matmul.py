@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..quant.core import QuantizedTensor
 
-__all__ = ["grouped_int4_matmul"]
+__all__ = ["grouped_int4_matmul", "grouped_int4_matmul_a8"]
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -230,6 +230,154 @@ def grouped_int4_matmul(
         scales.astype(jnp.float32), zps.astype(jnp.float32),
         tile_m=tile_m, tile_n=tn,
         compute_dtype=compute_dtype, out_dtype=out_dtype, interpret=interpret,
+        m_inner=m_inner,
+    )
+    return out[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# w4a8 "turbo" grouped mode: int8 activations, pure-integer MXU path
+# (same numerics as ops.int4_matmul.int4_matmul_a8 — exact int32
+# accumulation, zero-point corrected algebraically after the dot)
+# ---------------------------------------------------------------------------
+
+
+def _grouped_a8_kernel(
+    gid_ref,      # [num_tiles] i32 (scalar prefetch)
+    xq_ref,       # [TM, K] i8
+    sx_ref,       # [TM, 1] f32
+    w_ref,        # [1, TN, K/2] u8 planar
+    s_ref,        # [1, 1, TN] f32
+    z_ref,        # [1, 1, TN] f32
+    o_ref,        # [TM, TN]
+    *,
+    k_half: int,
+):
+    p = w_ref[0]
+    lo = (p & 0x0F).astype(jnp.int8)
+    vhi = pltpu.bitcast(p & 0xF0, jnp.int8)
+
+    x_lo = xq_ref[:, :k_half]
+    x_hi = xq_ref[:, k_half:]
+    dims = (((1,), (1,)), ((), ()))
+    acc_lo = jax.lax.dot_general(x_lo, lo, dims, preferred_element_type=jnp.int32)
+    acc_vhi = jax.lax.dot_general(x_hi, vhi, dims, preferred_element_type=jnp.int32)
+    xsl = jnp.sum(x_lo.astype(jnp.int32), axis=1, keepdims=True)
+    xsh = jnp.sum(x_hi.astype(jnp.int32), axis=1, keepdims=True)
+    zp = z_ref[0, 0, :][None, :]  # f32, integer-valued
+    yq = (
+        (acc_lo + (acc_vhi >> 4) + 8 * xsh).astype(jnp.float32)
+        - zp * (xsl + xsh).astype(jnp.float32)
+    )
+    o_ref[:] = (s_ref[0, 0, :][None, :] * sx_ref[:] * yq).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_m", "tile_n", "out_dtype", "interpret", "m_inner"),
+)
+def _grouped_a8_padded(
+    xq, sx, tile_group_ids, packed, scales, zps,
+    *, tile_m, tile_n, out_dtype, interpret, m_inner,
+):
+    t_pad, k = xq.shape
+    e, n, k_half = packed.shape
+    num_tiles = t_pad // tile_m
+    kernel = functools.partial(_grouped_a8_kernel, k_half=k_half)
+
+    if m_inner:
+        grid = (n // tile_n, num_tiles)
+        mi = lambda j, i, g: i  # noqa: E731
+        ni = lambda j, i, g: j  # noqa: E731
+    else:
+        grid = (num_tiles, n // tile_n)
+        mi = lambda i, j, g: i  # noqa: E731
+        ni = lambda i, j, g: j  # noqa: E731
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, k), lambda *a: (mi(*a), 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, 1), lambda *a: (mi(*a), 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, tile_n, k_half),
+                lambda *a: (a[-1][mi(*a)], ni(*a), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, tile_n),
+                lambda *a: (a[-1][mi(*a)], 0, ni(*a)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, tile_n),
+                lambda *a: (a[-1][mi(*a)], 0, ni(*a)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_m, tile_n), lambda *a: (mi(*a), ni(*a)), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t_pad, n), out_dtype),
+        interpret=interpret,
+    )(tile_group_ids, xq, sx, packed, scales[:, None, :], zps[:, None, :])
+
+
+def grouped_int4_matmul_a8(
+    x_sorted: jnp.ndarray,
+    tile_group_ids: jnp.ndarray,
+    qt: QuantizedTensor,
+    *,
+    tile_m: int = 32,
+    tile_n: Optional[int] = None,
+    out_dtype=None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """w4a8 grouped GEMM: per-row int8 activation quant + integer MXU dots.
+
+    Same contract as :func:`grouped_int4_matmul` with ~0.5% activation-
+    quantization error; the weight operand needs only u8 masks + one cast
+    (no float converts), and the MXU runs in int8 mode. tile_m must be a
+    multiple of 32 (int8 sublane tile).
+    """
+    if qt.granularity != "per_row" or qt.layout != "planar":
+        raise ValueError("a8 grouped kernel requires per_row + planar weights")
+    if tile_m % 32 != 0:
+        raise ValueError(f"tile_m={tile_m} must be a multiple of 32 for int8")
+    e, n, k = qt.shape
+    t_pad = x_sorted.shape[0]
+    if t_pad % tile_m != 0:
+        raise ValueError(f"T_pad={t_pad} not a multiple of tile_m={tile_m}")
+    if interpret is None:
+        interpret = not _on_tpu()
+    if out_dtype is None:
+        out_dtype = x_sorted.dtype
+
+    xf = x_sorted.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+    sx = jnp.clip(amax, min=1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+
+    tn = tile_n or min(512, _round_up(n, 128))
+    n_pad = _round_up(n, tn)
+    packed, scales, zps = qt.packed, qt.scales, qt.zero_points
+    if n_pad != n:
+        packed = jnp.pad(packed, ((0, 0), (0, n_pad - n), (0, 0)))
+        scales = jnp.pad(scales, ((0, 0), (0, n_pad - n)))
+        zps = jnp.pad(zps, ((0, 0), (0, n_pad - n)))
+
+    x_bytes_per_nsweep = t_pad * k  # i8
+    m_inner = x_bytes_per_nsweep * (n_pad // tn) <= qt.packed.size
+
+    out = _grouped_a8_padded(
+        xq, sx.astype(jnp.float32), tile_group_ids.astype(jnp.int32), packed,
+        scales.astype(jnp.float32), zps.astype(jnp.float32),
+        tile_m=tile_m, tile_n=tn, out_dtype=out_dtype, interpret=interpret,
         m_inner=m_inner,
     )
     return out[:, :n]

@@ -242,3 +242,39 @@ class TestCapacityPlan:
         assert not np.any(np.isnan(arr))
         assert np.abs(arr[:8]).sum() > 0       # kept tokens computed
         assert np.abs(arr[8:]).sum() == 0      # dropped tokens -> zero
+
+
+class TestGroupedA8:
+    def test_grouped_a8_matches_reference(self, rng):
+        from fused4bit_tpu.ops.grouped_matmul import grouped_int4_matmul_a8
+
+        w = randw(rng, E, N, K)
+        qt = quantize(w, layout="planar")
+        x = randw(rng, T, K)
+        r = topk_route(randw(rng, T, E), TOPK, E)
+        plan = make_dispatch_plan(r, E, tile_m=32)
+        xs = dispatch(x, r, plan)
+        got = grouped_int4_matmul_a8(xs, plan.tile_group_ids, qt, tile_m=32)
+        want = grouped_int4_matmul(xs, plan.tile_group_ids, qt, tile_m=32)
+        scale = float(jnp.max(jnp.abs(want)))
+        rel = float(jnp.max(jnp.abs(got - want))) / scale
+        assert rel < 0.02
+
+    def test_grouped_a8_end_to_end(self, rng):
+        from fused4bit_tpu.ops.grouped_matmul import grouped_int4_matmul_a8
+
+        w = randw(rng, E, N, K)
+        qt = quantize(w, layout="planar")
+        x = randw(rng, T, K)
+        r = topk_route(randw(rng, T, E), TOPK, E)
+        plan = make_dispatch_plan(r, E, tile_m=32)
+        xs = dispatch(x, r, plan)
+        y = grouped_int4_matmul_a8(xs, plan.tile_group_ids, qt, tile_m=32)
+        got = combine(y, r, plan)
+        wd = dequantize(qt, dtype=jnp.float32)
+        we = wd[r.expert_indices]
+        want = jnp.sum(
+            jnp.einsum("tk,tenk->ten", x.astype(jnp.float32), we)
+            * r.expert_weights[..., None], axis=1)
+        rel = float(jnp.max(jnp.abs(got - want))) / float(jnp.max(jnp.abs(want)))
+        assert rel < 0.03
