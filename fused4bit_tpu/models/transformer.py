@@ -162,6 +162,9 @@ class MoEBlock:
     num_experts: int = dataclasses.field(metadata=dict(static=True))
     top_k: int = dataclasses.field(metadata=dict(static=True))
     tile_m: int = dataclasses.field(metadata=dict(static=True), default=16)
+    prefill_threshold: int = dataclasses.field(
+        metadata=dict(static=True), default=512
+    )
 
     @classmethod
     def init(cls, key, num_experts, hidden, ffn, top_k, tile_m=16):
@@ -181,6 +184,8 @@ class MoEBlock:
         b, t, h = x.shape
         xf = x.reshape(b * t, h)
         routing = topk_route(self.router(xf), self.top_k, self.num_experts)
+        if b * t > self.prefill_threshold:
+            return self._prefill_forward(xf, routing).reshape(b, t, h)
         plan = make_dispatch_plan(routing, self.num_experts, tile_m=self.tile_m)
         xs = dispatch(xf, routing, plan)               # [T_pad, H]
         g = self.w_gate(xs, plan.tile_group_ids, tile_m=self.tile_m)
@@ -191,6 +196,38 @@ class MoEBlock:
         d = self.w_down(hsw, plan.tile_group_ids, tile_m=self.tile_m)
         y = combine(d, routing, plan)
         return y.reshape(b, t, h)
+
+    def _prefill_forward(self, xf: jnp.ndarray, routing) -> jnp.ndarray:
+        """Prefill regime: capacity layout + dequant-once dense einsums.
+
+        At large token counts the grouped kernel would re-stream the packed
+        expert weights once per m-tile; dequantizing each projection once and
+        running XLA batched einsums over the static [E, C, H] capacity layout
+        streams them once (the same trade as the linear kernel's
+        prefill_threshold dispatch). Capacity 2x the mean load: overflow
+        tokens drop (Switch semantics) — acceptable in the compute-bound
+        regime this path serves.
+        """
+        from ..layers.moe import make_capacity_plan
+        from ..quant.core import dequantize
+
+        tk = xf.shape[0] * self.top_k
+        cap = -(-2 * tk // self.num_experts // self.tile_m) * self.tile_m
+        plan = make_capacity_plan(
+            routing, self.num_experts, capacity=cap, tile_m=self.tile_m
+        )
+        xs = dispatch(xf, routing, plan)  # [E*C, H]
+        e, c = self.num_experts, cap
+        xe = xs.reshape(e, c, -1)
+        dt = xs.dtype
+        wg = dequantize(self.w_gate.weight, dtype=dt)
+        wu = dequantize(self.w_up.weight, dtype=dt)
+        g = jnp.einsum("ech,enh->ecn", xe, wg)
+        u = jnp.einsum("ech,enh->ecn", xe, wu)
+        hsw = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(dt)
+        wd = dequantize(self.w_down.weight, dtype=dt)
+        d = jnp.einsum("ecn,ehn->ech", hsw, wd)
+        return combine(d.reshape(e * c, -1), routing, plan)
 
 
 # ---------------------------------------------------------------------------

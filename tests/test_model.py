@@ -231,3 +231,20 @@ class TestFusedDecodeAttention:
             np.asarray(out[0], np.float32), np.asarray(out2[0], np.float32),
             rtol=1e-5,
         )
+
+
+class TestMoEPrefillPath:
+    def test_prefill_path_matches_decode_path(self, rng, model):
+        """Large-T capacity/einsum path ~= grouped-kernel path."""
+        import dataclasses
+        cfg, m = model
+        blk = m.blocks[0].moe
+        h = cfg.num_heads * cfg.head_dim
+        x = jnp.asarray(rng.standard_normal((1, 40, h)) * 0.1, jnp.float32)
+        via_kernel = dataclasses.replace(blk, prefill_threshold=10_000)(x)
+        via_prefill = dataclasses.replace(blk, prefill_threshold=8)(x)
+        np.testing.assert_allclose(
+            np.asarray(via_prefill, np.float32),
+            np.asarray(via_kernel, np.float32),
+            atol=5e-3, rtol=5e-2,
+        )
