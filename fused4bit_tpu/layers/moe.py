@@ -43,6 +43,7 @@ __all__ = [
     "simulate_router_logits",
     "make_dispatch_plan",
     "make_capacity_plan",
+    "expert_load_stats",
     "dispatch",
     "combine",
     "MoEINT4",
@@ -204,6 +205,27 @@ def make_dispatch_plan(
 
 def _cdiv_j(a, b):
     return -(-a // b)
+
+
+def expert_load_stats(routing: RoutingResult, capacity: int = 0) -> dict:
+    """Router observability: per-expert load, imbalance, and (capacity mode)
+    drop counts. The reference prints nothing structured about routing; this
+    backs dashboards/benchmark output.
+
+    Returns a dict of jnp values:
+      load_fraction [E], max_over_mean imbalance (scalar),
+      dropped (scalar; 0 unless capacity > 0).
+    """
+    tpe = routing.tokens_per_expert.astype(jnp.float32)
+    total = jnp.maximum(jnp.sum(tpe), 1.0)
+    load = tpe / total
+    imbalance = jnp.max(tpe) / jnp.maximum(jnp.mean(tpe), 1e-9)
+    dropped = (
+        jnp.sum(jnp.maximum(routing.tokens_per_expert - capacity, 0))
+        if capacity > 0
+        else jnp.zeros((), jnp.int32)
+    )
+    return dict(load_fraction=load, imbalance=imbalance, dropped=dropped)
 
 
 def dispatch(x: jnp.ndarray, routing: RoutingResult, plan: DispatchPlan) -> jnp.ndarray:

@@ -278,3 +278,30 @@ class TestGroupedA8:
             * r.expert_weights[..., None], axis=1)
         rel = float(jnp.max(jnp.abs(got - want))) / float(jnp.max(jnp.abs(want)))
         assert rel < 0.03
+
+
+class TestObservability:
+    def test_expert_load_stats(self, rng):
+        from fused4bit_tpu.layers.moe import expert_load_stats
+
+        r = topk_route(randw(rng, T, E), TOPK, E)
+        stats = expert_load_stats(r)
+        np.testing.assert_allclose(float(jnp.sum(stats["load_fraction"])), 1.0, atol=1e-6)
+        assert float(stats["imbalance"]) >= 1.0
+        assert int(stats["dropped"]) == 0
+
+    def test_expert_load_stats_drops(self):
+        from fused4bit_tpu.layers.moe import expert_load_stats
+
+        logits = jnp.zeros((20, E)).at[:, 0].set(50.0)
+        r = topk_route(logits, 1, E)
+        stats = expert_load_stats(r, capacity=8)
+        assert int(stats["dropped"]) == 12
+
+
+class TestMultihost:
+    def test_initialize_noop_single_process(self):
+        from fused4bit_tpu.parallel.multihost import initialize, is_multihost
+
+        assert initialize() is False
+        assert is_multihost() is False
