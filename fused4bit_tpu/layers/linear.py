@@ -35,6 +35,7 @@ class QuantizedLinear:
     weight: QuantizedTensor
     bias: Optional[jnp.ndarray] = None
     use_kernel: bool = dataclasses.field(metadata=dict(static=True), default=True)
+    activation: str = dataclasses.field(metadata=dict(static=True), default="bf16")
 
     # -- construction -------------------------------------------------------
 
@@ -87,7 +88,16 @@ class QuantizedLinear:
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         w = self.weight
-        if self.use_kernel and w.layout == "planar" and w.granularity == "per_row":
+        if (
+            self.use_kernel
+            and self.activation == "int8"
+            and w.layout == "planar"
+            and w.granularity == "per_row"
+        ):
+            from ..ops.int4_matmul import int4_matmul_a8
+
+            y = int4_matmul_a8(x, w)
+        elif self.use_kernel and w.layout == "planar" and w.granularity == "per_row":
             y = int4_matmul(x, w)
         elif (
             self.use_kernel

@@ -276,6 +276,7 @@ class MoEINT4:
 
     weight: QuantizedTensor  # [E, N, K]
     use_kernel: bool = dataclasses.field(metadata=dict(static=True), default=True)
+    activation: str = dataclasses.field(metadata=dict(static=True), default="bf16")
 
     @classmethod
     def from_dense(
@@ -291,6 +292,16 @@ class MoEINT4:
         return self.weight.shape[0]
 
     def __call__(self, x_sorted: jnp.ndarray, tile_group_ids: jnp.ndarray, **kw):
+        if (
+            self.use_kernel
+            and self.activation == "int8"
+            and self.weight.granularity == "per_row"
+        ):
+            from ..ops.grouped_matmul import grouped_int4_matmul_a8
+
+            return grouped_int4_matmul_a8(
+                x_sorted, tile_group_ids, self.weight, **kw
+            )
         if self.use_kernel and self.weight.granularity == "per_row":
             return grouped_int4_matmul(x_sorted, tile_group_ids, self.weight, **kw)
         # Golden path: per-tile dense dequant matmul.

@@ -248,3 +248,30 @@ class TestMoEPrefillPath:
             np.asarray(via_kernel, np.float32),
             atol=5e-3, rtol=5e-2,
         )
+
+
+class TestTurboMode:
+    def test_turbo_matches_standard(self, rng, model):
+        from fused4bit_tpu.models.transformer import as_turbo
+
+        cfg, m = model
+        turbo = as_turbo(m)
+        b, t = 1, 4
+        toks = jnp.asarray(np.arange(t)[None] % cfg.vocab_size, jnp.int32)
+        l1, _ = m(toks, m.init_cache(cfg, b, 16), jnp.arange(t))
+        l2, _ = turbo(toks, turbo.init_cache(cfg, b, 16), jnp.arange(t))
+        a = np.asarray(l1, np.float32).ravel()
+        v = np.asarray(l2, np.float32).ravel()
+        cos = a @ v / (np.linalg.norm(a) * np.linalg.norm(v))
+        assert cos > 0.95
+
+    def test_turbo_decode_step(self, rng, model):
+        from fused4bit_tpu.models.transformer import as_turbo
+
+        cfg, m = model
+        turbo = as_turbo(m)
+        caches = turbo.init_cache(cfg, 2, 16)
+        lg, caches = turbo(jnp.zeros((2, 1), jnp.int32), caches,
+                           jnp.zeros((2, 1), jnp.int32))
+        assert lg.shape == (2, 1, cfg.vocab_size)
+        assert not bool(jnp.any(jnp.isnan(lg)))
