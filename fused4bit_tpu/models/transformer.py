@@ -117,14 +117,21 @@ class Attention:
         # Cache index == sequence position: row b writes at positions[b, 0].
         cache = cache.append(k, v, start=positions[:, 0])
 
-        if t == 1 and self.use_fused_attention:
-            # Decode step: fused kernel reads the packed INT4 cache directly
-            # (never materializes bf16 K/V). Correct when each row's history
-            # is contiguous below its length (positions[:, 0] == length-1).
-            from ..ops.decode_attention import int4_decode_attention
+        if self.use_fused_attention:
+            # Fused kernels read the packed INT4 cache directly (never
+            # materialize bf16 K/V). Correct when each row's history is
+            # contiguous below its length and this call's writes are the most
+            # recent entries (positions[:, 0] == previous length).
+            if t == 1:
+                from ..ops.decode_attention import int4_decode_attention
 
-            out = int4_decode_attention(q[:, :, 0, :], cache)  # [B, nh, D]
-            out = out.reshape(b, 1, nh * hd)
+                out = int4_decode_attention(q[:, :, 0, :], cache)  # [B, nh, D]
+            else:
+                from ..ops.decode_attention import int4_prefill_attention
+
+                out4 = int4_prefill_attention(q, cache, positions[:, 0])
+                out = out4.transpose(0, 2, 1, 3)  # [B, T, nh, D]
+            out = out.reshape(b, t, nh * hd)
             return self.wo(out), cache
 
         kd, vd = cache.dequantize(dtype=q.dtype)  # [B, nkv, S, D]

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["int4_decode_attention"]
+__all__ = ["int4_decode_attention", "int4_prefill_attention"]
 
 _NEG_INF = -1e30
 
@@ -60,8 +60,8 @@ def _dequant_rows(p, zp_col, s_col, compute_dtype):
 
 
 def _attn_kernel(
-    len_ref,      # [B] i32 (scalar prefetch)
-    q_ref,        # [1, 1, G, D]
+    len_ref,      # [2B] i32 (scalar prefetch): [lengths | query starts]
+    q_ref,        # [1, 1, G*T, D]
     kp_ref,       # [1, 1, St, D/2] u8
     ks_ref,       # [1, 1, St, 1] f32
     kz_ref,       # [1, 1, St, 1] f32
@@ -76,11 +76,14 @@ def _attn_kernel(
     head_dim: int,
     s_tile: int,
     n_s: int,
+    n_q: int,        # queries per row (T; 1 for decode)
+    batch: int,
     compute_dtype,
 ):
     b = pl.program_id(0)
     t = pl.program_id(2)
     length = len_ref[b]
+    qstart = len_ref[batch + b]
 
     @pl.when(t == 0)
     def _init():
@@ -97,7 +100,14 @@ def _attn_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * (1.0 / (head_dim ** 0.5))  # [G, St]
         span = t * s_tile + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(span < length, scores, _NEG_INF)
+        # Causal per query: row r (layout [G, T] flattened) is the query at
+        # position qstart + (r mod T); it may attend to s <= its position and
+        # only to filled entries (s < length).
+        qpos = qstart + (
+            jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) % n_q
+        )
+        mask = (span <= qpos) & (span < length)
+        scores = jnp.where(mask, scores, _NEG_INF)
 
         m_prev = m_ref[:]
         m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
@@ -118,18 +128,21 @@ def _attn_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("s_tile", "compute_dtype", "out_dtype", "interpret")
+    jax.jit,
+    static_argnames=("s_tile", "n_q", "compute_dtype", "out_dtype", "interpret"),
 )
 def _attn_call(
-    q4, lengths, kp, ks, kz, vp, vs, vz,
-    *, s_tile, compute_dtype, out_dtype, interpret,
+    q4, lens_and_starts, kp, ks, kz, vp, vs, vz,
+    *, s_tile, n_q, compute_dtype, out_dtype, interpret,
 ):
-    b, h_kv, g, d = q4.shape
+    b, h_kv, gt, d = q4.shape
+    g = gt  # rows per (batch, kv head): G*T flattened
     s_max = kp.shape[2]
     n_s = s_max // s_tile
     kernel = functools.partial(
         _attn_kernel,
-        head_dim=d, s_tile=s_tile, n_s=n_s, compute_dtype=compute_dtype,
+        head_dim=d, s_tile=s_tile, n_s=n_s, n_q=n_q, batch=b,
+        compute_dtype=compute_dtype,
     )
 
     def vec():
@@ -169,7 +182,7 @@ def _attn_call(
         ),
         interpret=interpret,
     )(
-        lengths.astype(jnp.int32), q4, kp,
+        lens_and_starts.astype(jnp.int32), q4, kp,
         ks[..., None], kz[..., None], vp, vs[..., None], vz[..., None],
     )
 
@@ -203,11 +216,56 @@ def int4_decode_attention(
     while s_max % st != 0:
         st //= 2
     q4 = q.reshape(b, h_kv, g, d)
+    lens_starts = jnp.concatenate([cache.lengths, cache.lengths - 1])
     out = _attn_call(
-        q4, cache.lengths,
+        q4, lens_starts,
         cache.k_packed, cache.k_scale, cache.k_zp,
         cache.v_packed, cache.v_scale, cache.v_zp,
-        s_tile=st, compute_dtype=compute_dtype, out_dtype=out_dtype,
+        s_tile=st, n_q=1, compute_dtype=compute_dtype, out_dtype=out_dtype,
         interpret=interpret,
     )
     return out.reshape(b, hq, d)
+
+
+def int4_prefill_attention(
+    q: jnp.ndarray,        # [B, Hq, T, D] — chunk of queries (post-RoPE)
+    cache,                 # QuantizedKVCache (lengths INCLUDE the T new steps)
+    starts: jnp.ndarray,   # [B] i32 — position of each row's first query
+    *,
+    s_tile: int = 512,
+    compute_dtype=jnp.bfloat16,
+    out_dtype=None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Chunked prefill attention over the packed INT4 cache.
+
+    Same kernel as decode with T queries per (batch, kv head) program and a
+    per-query causal mask: query t attends to positions <= starts[b] + t.
+    Returns [B, Hq, T, D].
+    """
+    b, hq, t, d = q.shape
+    h_kv = cache.k_packed.shape[1]
+    g = hq // h_kv
+    if g * h_kv != hq:
+        raise ValueError(f"Hq={hq} not a multiple of Hkv={h_kv}")
+    if interpret is None:
+        interpret = not _on_tpu()
+    if out_dtype is None:
+        out_dtype = q.dtype
+    s_max = cache.max_seq
+    st = min(s_tile, s_max)
+    while s_max % st != 0:
+        st //= 2
+    # layout rows as [G, T] flattened so row r has query index r % T
+    q4 = q.reshape(b, h_kv, g, t, d).reshape(b, h_kv, g * t, d)
+    lens_starts = jnp.concatenate(
+        [cache.lengths, starts.astype(jnp.int32)]
+    )
+    out = _attn_call(
+        q4, lens_starts,
+        cache.k_packed, cache.k_scale, cache.k_zp,
+        cache.v_packed, cache.v_scale, cache.v_zp,
+        s_tile=st, n_q=t, compute_dtype=compute_dtype, out_dtype=out_dtype,
+        interpret=interpret,
+    )
+    return out.reshape(b, h_kv, g, t, d).reshape(b, hq, t, d)

@@ -275,3 +275,58 @@ class TestTurboMode:
                            jnp.zeros((2, 1), jnp.int32))
         assert lg.shape == (2, 1, cfg.vocab_size)
         assert not bool(jnp.any(jnp.isnan(lg)))
+
+
+class TestFusedPrefillAttention:
+    def test_prefill_kernel_matches_jnp(self, rng):
+        import dataclasses
+        from fused4bit_tpu.layers.kv_cache import QuantizedKVCache
+        from fused4bit_tpu.ops.decode_attention import int4_prefill_attention
+
+        b, hkv, hq, d, s, t = 2, 2, 4, 64, 32, 5
+        cache = QuantizedKVCache.init(b, hkv, s, d)
+        # pre-existing history of 3 steps, then a 5-step prefill chunk
+        hist = jnp.asarray(rng.standard_normal((b, hkv, 3, d)), jnp.float32)
+        cache = cache.append(hist, hist)
+        k = jnp.asarray(rng.standard_normal((b, hkv, t, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, hkv, t, d)), jnp.float32)
+        starts = cache.lengths
+        cache = cache.append(k, v, start=starts)
+        q = jnp.asarray(rng.standard_normal((b, hq, t, d)), jnp.bfloat16)
+
+        got = int4_prefill_attention(q, cache, starts)
+
+        kd, vd = cache.dequantize(jnp.bfloat16)
+        rep = hq // hkv
+        kd = jnp.repeat(kd, rep, axis=1)
+        vd = jnp.repeat(vd, rep, axis=1)
+        scores = jnp.einsum("bhtd,bhsd->bhts", q, kd) / jnp.sqrt(float(d))
+        span = jnp.arange(s)[None, None, None, :]
+        qpos = (starts[:, None] + jnp.arange(t)[None, :])[:, None, :, None]
+        mask = (span <= qpos) & (span < cache.lengths[:, None, None, None])
+        scores = jnp.where(mask, scores.astype(jnp.float32), -1e30)
+        probs = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
+        want = jnp.einsum("bhts,bhsd->bhtd", probs, vd)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=0.03, rtol=0.05,
+        )
+
+    def test_prefill_kernel_fresh_cache(self, rng):
+        """starts=0 (the usual prefill) — strictly causal within the chunk."""
+        from fused4bit_tpu.layers.kv_cache import QuantizedKVCache
+        from fused4bit_tpu.ops.decode_attention import int4_prefill_attention
+
+        b, hkv, hq, d, s, t = 1, 1, 2, 64, 16, 4
+        cache = QuantizedKVCache.init(b, hkv, s, d)
+        k = jnp.asarray(rng.standard_normal((b, hkv, t, d)), jnp.float32)
+        cache = cache.append(k, k)
+        q = jnp.asarray(rng.standard_normal((b, hq, t, d)), jnp.float32)
+        got = int4_prefill_attention(q, cache, jnp.zeros((b,), jnp.int32))
+        # query 0 attends only position 0 -> output == v[0] exactly
+        kd, vd = cache.dequantize(jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(got[0, :, 0, :], np.float32),
+            np.tile(np.asarray(vd[0, 0, 0])[None], (hq, 1)),
+            rtol=2e-2, atol=2e-2,
+        )
