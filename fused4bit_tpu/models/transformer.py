@@ -117,7 +117,11 @@ class Attention:
         # Cache index == sequence position: row b writes at positions[b, 0].
         cache = cache.append(k, v, start=positions[:, 0])
 
-        if self.use_fused_attention:
+        # Fused-kernel VMEM bound: the flash program holds [G*T, s_tile] f32
+        # scores plus scratch; cap the flattened query-row count so large
+        # prefill chunks fall back to the jnp path instead of OOMing VMEM.
+        g_rows = (nh // nkv) * t
+        if self.use_fused_attention and g_rows <= 512:
             # Fused kernels read the packed INT4 cache directly (never
             # materialize bf16 K/V). Correct when each row's history is
             # contiguous below its length and this call's writes are the most
