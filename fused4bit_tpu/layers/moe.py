@@ -280,11 +280,19 @@ class MoEINT4:
 
     @classmethod
     def from_dense(
-        cls, weights: jnp.ndarray, *, granularity: str = "per_row", **kw
+        cls,
+        weights: jnp.ndarray,
+        *,
+        granularity: str = "per_row",
+        group_size: int = 128,
+        **kw,
     ) -> "MoEINT4":
         """Quantize stacked dense expert weights [E, N, K]
         (reference `from_weights`, `python/moe_int4_module.py:107-120`)."""
-        qt = quantize(weights, granularity=granularity, layout="planar")
+        qt = quantize(
+            weights, granularity=granularity, layout="planar",
+            group_size=group_size,
+        )
         return cls(weight=qt, **kw)
 
     @property
@@ -304,6 +312,17 @@ class MoEINT4:
             )
         if self.use_kernel and self.weight.granularity == "per_row":
             return grouped_int4_matmul(x_sorted, tile_group_ids, self.weight, **kw)
+        if (
+            self.use_kernel
+            and self.weight.granularity == "per_group"
+            and self.weight.group_size % 128 == 0
+            and (self.weight.in_dim // 2) % self.weight.group_size == 0
+        ):
+            from ..ops.grouped_matmul import grouped_int4_matmul_per_group
+
+            return grouped_int4_matmul_per_group(
+                x_sorted, tile_group_ids, self.weight, **kw
+            )
         # Golden path: per-tile dense dequant matmul.
         w = dequantize(self.weight, dtype=jnp.float32)  # [E, N, K]
         tile_m = x_sorted.shape[0] // tile_group_ids.shape[0]

@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..quant.core import QuantizedTensor
 
-__all__ = ["grouped_int4_matmul", "grouped_int4_matmul_a8"]
+__all__ = ["grouped_int4_matmul", "grouped_int4_matmul_a8", "grouped_int4_matmul_per_group"]
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -378,6 +378,177 @@ def grouped_int4_matmul_a8(
         xq, sx.astype(jnp.float32), tile_group_ids.astype(jnp.int32), packed,
         scales.astype(jnp.float32), zps.astype(jnp.float32),
         tile_m=tile_m, tile_n=tn, out_dtype=out_dtype, interpret=interpret,
+        m_inner=m_inner,
+    )
+    return out[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# per_group granularity grouped kernel (one dot per (half, group), scale on
+# the f32 partial — same scheme as ops.int4_matmul.int4_matmul_per_group)
+# ---------------------------------------------------------------------------
+
+
+def _grouped_pg_kernel(
+    gid_ref,      # [num_tiles] i32 (scalar prefetch)
+    x_ref,        # [TM, K]
+    w_ref,        # [1, TN, K/2] u8 planar
+    s_ref,        # [1, G, TN, 1] f32 (pre-columnized)
+    z_ref,        # [1, G, TN, 1] f32
+    o_ref,        # [TM, TN]
+    *,
+    k_half: int,
+    group_size: int,
+    compute_dtype,
+):
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    dims = (((1,), (1,)), ((), ()))
+    n_groups_half = k_half // group_size
+    acc = jnp.zeros((x_ref.shape[0], o_ref.shape[1]), jnp.float32)
+    for g in range(n_groups_half):
+        sl = slice(g * group_size, (g + 1) * group_size)
+        p_g = w_ref[0][:, sl]
+        zp_lo = z_ref[0, g, :, :].astype(compute_dtype)  # [TN, 1]
+        qlo = (p_g & 0x0F).astype(jnp.int8).astype(compute_dtype) - zp_lo
+        d_lo = jax.lax.dot_general(
+            x_ref[:, sl].astype(compute_dtype), qlo, dims,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        acc += s_ref[0, g, :, 0][None, :] * d_lo
+
+        gh = n_groups_half + g
+        zp_hi = z_ref[0, gh, :, :].astype(compute_dtype)
+        vhi = pltpu.bitcast(p_g & 0xF0, jnp.int8).astype(compute_dtype) - 16.0 * (
+            zp_hi - 8.0
+        )
+        x_hi = x_ref[:, k_half + g * group_size : k_half + (g + 1) * group_size]
+        d_hi = jax.lax.dot_general(
+            x_hi.astype(compute_dtype), vhi, dims,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        acc += (0.0625 * s_ref[0, gh, :, 0])[None, :] * d_hi
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "tile_m", "tile_n", "group_size", "compute_dtype", "out_dtype",
+        "interpret", "m_inner",
+    ),
+)
+def _grouped_pg_padded(
+    x_sorted, tile_group_ids, packed, scales_t, zps_t,
+    *, tile_m, tile_n, group_size, compute_dtype, out_dtype, interpret, m_inner,
+):
+    t_pad, k = x_sorted.shape
+    e, n, k_half = packed.shape
+    g_total = scales_t.shape[1]
+    num_tiles = t_pad // tile_m
+    kernel = functools.partial(
+        _grouped_pg_kernel,
+        k_half=k_half, group_size=group_size, compute_dtype=compute_dtype,
+    )
+    if m_inner:
+        grid = (n // tile_n, num_tiles)
+        mi = lambda j, i, g: i  # noqa: E731
+        ni = lambda j, i, g: j  # noqa: E731
+    else:
+        grid = (num_tiles, n // tile_n)
+        mi = lambda i, j, g: i  # noqa: E731
+        ni = lambda i, j, g: j  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, k), lambda *a: (mi(*a), 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, tile_n, k_half),
+                lambda *a: (a[-1][mi(*a)], ni(*a), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, g_total, tile_n, 1),
+                lambda *a: (a[-1][mi(*a)], 0, ni(*a), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, g_total, tile_n, 1),
+                lambda *a: (a[-1][mi(*a)], 0, ni(*a), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_m, tile_n), lambda *a: (mi(*a), ni(*a)), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t_pad, n), out_dtype),
+        interpret=interpret,
+    )(tile_group_ids, x_sorted, packed, scales_t, zps_t)
+
+
+def grouped_int4_matmul_per_group(
+    x_sorted: jnp.ndarray,
+    tile_group_ids: jnp.ndarray,
+    qt: QuantizedTensor,
+    *,
+    tile_m: int = 64,
+    tile_n: Optional[int] = None,
+    compute_dtype=None,
+    out_dtype=None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Grouped GEMM over per_group-quantized stacked expert weights.
+
+    qt: [E, N, K] with per_group granularity (scales/zps [E, N, K/group]);
+    group_size must be a multiple of 128 dividing K/2.
+    """
+    if qt.granularity != "per_group" or qt.layout != "planar":
+        raise ValueError("requires per_group + planar weights")
+    gs = qt.group_size
+    e, n, k = qt.shape
+    k_half = k // 2
+    if gs % 128 != 0 or k_half % gs != 0:
+        raise ValueError(
+            f"group_size={gs} must be a multiple of 128 dividing K/2={k_half}"
+        )
+    t_pad = x_sorted.shape[0]
+    if t_pad % tile_m != 0:
+        raise ValueError(f"T_pad={t_pad} not a multiple of tile_m={tile_m}")
+    if interpret is None:
+        interpret = not _on_tpu()
+    if compute_dtype is None:
+        compute_dtype = (
+            jnp.float32 if x_sorted.dtype == jnp.float32 else jnp.bfloat16
+        )
+    if out_dtype is None:
+        out_dtype = x_sorted.dtype
+
+    tn = tile_n or min(512, _round_up(n, 128))
+    n_pad = _round_up(n, tn)
+    packed, scales, zps = qt.packed, qt.scales, qt.zero_points  # [E,N,G]
+    if n_pad != n:
+        packed = jnp.pad(packed, ((0, 0), (0, n_pad - n), (0, 0)))
+        scales = jnp.pad(scales, ((0, 0), (0, n_pad - n), (0, 0)))
+        zps = jnp.pad(zps, ((0, 0), (0, n_pad - n), (0, 0)))
+    # pre-columnize: [E, G, N, 1]
+    scales_t = jnp.swapaxes(scales, 1, 2)[..., None].astype(jnp.float32)
+    zps_t = jnp.swapaxes(zps, 1, 2)[..., None].astype(jnp.float32)
+
+    x_bytes_per_nsweep = t_pad * k * x_sorted.dtype.itemsize
+    m_inner = x_bytes_per_nsweep * (n_pad // tn) <= qt.packed.size
+
+    out = _grouped_pg_padded(
+        x_sorted, tile_group_ids.astype(jnp.int32), packed, scales_t, zps_t,
+        tile_m=tile_m, tile_n=tn, group_size=gs,
+        compute_dtype=compute_dtype, out_dtype=out_dtype, interpret=interpret,
         m_inner=m_inner,
     )
     return out[:, :n]
