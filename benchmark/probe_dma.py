@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Pin the platform's achieved HBM streaming rates: Pallas vs XLA.
+
+Round-1 claimed a ~80 GB/s Pallas/Mosaic DMA cap on this tunneled chip while
+XLA matmuls stream at ~350-425 GB/s; the round-1 verdict asked for a committed
+artifact proving the kernel is platform-bound (VERDICT.md "What's weak" #2).
+This probe measures, with the scan-in-jit protocol:
+
+  1. pallas-stream: a Pallas kernel that reads a large u8 array tile by tile
+     and reduces each tile (negligible compute) — pure DMA rate.
+  2. xla-matvec: bf16 [N, K] @ [K] matvec — XLA weight-streaming rate.
+  3. xla-u8-reduce: XLA sum over the same u8 array.
+
+Writes benchmark/results/dma_probe.json.
+"""
+import functools
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from fused4bit_tpu.utils.benchmark import time_fn_scan  # noqa: E402
+
+
+def pallas_stream_sum(a, tile_rows=512):
+    rows, cols = a.shape
+
+    def kern(a_ref, o_ref):
+        o_ref[0, 0] = jnp.sum(a_ref[...].astype(jnp.int32))
+
+    return pl.pallas_call(
+        kern,
+        grid=(rows // tile_rows,),
+        in_specs=[
+            pl.BlockSpec((tile_rows, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((rows // tile_rows, 1), jnp.int32),
+    )(a)
+
+
+def main():
+    results = {}
+    mb = 256
+    rows, cols = mb * 1024 * 1024 // 2048, 2048
+    a_u8 = jnp.ones((rows, cols), jnp.uint8)
+    nbytes = a_u8.size
+
+    t = time_fn_scan(
+        lambda eps: pallas_stream_sum(a_u8 + eps.astype(jnp.uint8)),
+        jnp.zeros((), jnp.uint8), iters=10, repeats=5,
+    )
+    results["pallas_stream_u8_gbps"] = nbytes / t / 1e9
+
+    for tile_rows in (256, 1024, 2048):
+        t = time_fn_scan(
+            lambda eps: pallas_stream_sum(a_u8 + eps.astype(jnp.uint8), tile_rows),
+            jnp.zeros((), jnp.uint8), iters=10, repeats=3,
+        )
+        results[f"pallas_stream_u8_tile{tile_rows}_gbps"] = nbytes / t / 1e9
+
+    # XLA matvec: streams [N, K] bf16 weights once per call
+    n, k = 16384, 8192  # 256 MB bf16
+    w = jnp.ones((n, k), jnp.bfloat16)
+
+    def mv(eps):
+        x = jnp.ones((k,), jnp.bfloat16) + eps
+        return w @ x
+
+    t = time_fn_scan(mv, jnp.zeros((), jnp.bfloat16), iters=10, repeats=5)
+    results["xla_matvec_bf16_gbps"] = (n * k * 2) / t / 1e9
+
+    # XLA reduce over the u8 array
+    t = time_fn_scan(
+        lambda eps: jnp.sum((a_u8 + eps.astype(jnp.uint8)).astype(jnp.int32)),
+        jnp.zeros((), jnp.uint8), iters=10, repeats=5,
+    )
+    results["xla_reduce_u8_gbps"] = nbytes / t / 1e9
+
+    results["backend"] = jax.default_backend()
+    results["device"] = str(jax.devices()[0])
+    print(json.dumps(results, indent=2))
+    out = os.path.join(os.path.dirname(__file__), "results", "dma_probe.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

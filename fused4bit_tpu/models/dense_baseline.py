@@ -7,7 +7,7 @@ bf16 dense weights, a bf16 KV cache, and plain XLA matmuls. Built *from* a
 `QuantizedTransformer` by dequantizing its weights, so the two models
 represent the identical function up to quantization error — which makes both
 an honest speed comparison and a model-level quality measurement possible
-(see tests/test_model_quality.py and benchmark/run_model_benchmark.py).
+(see tests/test_model.py and benchmark/run_model_benchmark.py).
 """
 from __future__ import annotations
 

@@ -57,7 +57,7 @@ def _on_tpu() -> bool:
 
 def _grouped_kernel(
     gid_ref,      # [num_tiles] i32 (scalar prefetch): m-tile -> expert id
-    x_ref,        # [TM, K]
+    x_ref,        # [TM, K] — or [T_pad, K] when x_resident (sliced in-kernel)
     w_ref,        # [1, TN, K/2] u8 planar (this tile's expert)
     s_ref,        # [1, 1, TN] f32
     z_ref,        # [1, 1, TN] f32
@@ -65,6 +65,7 @@ def _grouped_kernel(
     *,
     k_half: int,
     compute_dtype,
+    resident_tile_m: int = 0,
 ):
     p = w_ref[0]
     zp_col = z_ref[0, 0, :][:, None].astype(compute_dtype)
@@ -78,8 +79,16 @@ def _grouped_kernel(
         if compute_dtype == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
-    x_lo = x_ref[:, :k_half].astype(compute_dtype)
-    x_hi = x_ref[:, k_half:].astype(compute_dtype)
+    if resident_tile_m:
+        # x_resident mode: the whole token buffer sits in VMEM (constant
+        # BlockSpec index); slice this m-tile's rows here. Sublane-dim dynamic
+        # offsets are fine on Mosaic (only lane-dim offsets need 128-proofs).
+        m = pl.program_id(1)  # m innermost in the (n, m) grid
+        xt = x_ref[pl.ds(m * resident_tile_m, resident_tile_m), :]
+    else:
+        xt = x_ref[...]
+    x_lo = xt[:, :k_half].astype(compute_dtype)
+    x_hi = xt[:, k_half:].astype(compute_dtype)
     dims = (((1,), (1,)), ((), ()))
     acc = jax.lax.dot_general(
         x_lo, qlo, dims, preferred_element_type=jnp.float32, precision=prec
@@ -92,44 +101,55 @@ def _grouped_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "tile_m", "tile_n", "compute_dtype", "out_dtype", "interpret", "m_inner"
+        "tile_m", "tile_n", "compute_dtype", "out_dtype", "interpret", "mode"
     ),
 )
 def _grouped_padded(
     x_sorted, tile_group_ids, packed, scales, zps,
-    *, tile_m, tile_n, compute_dtype, out_dtype, interpret, m_inner,
+    *, tile_m, tile_n, compute_dtype, out_dtype, interpret, mode,
 ):
     t_pad, k = x_sorted.shape
     e, n, k_half = packed.shape
     num_tiles = t_pad // tile_m
 
+    # Grid-order modes (traffic model in `grouped_int4_matmul`):
+    #   x_resident — the whole [T_pad, K] token buffer is pinned in VMEM
+    #     (constant BlockSpec index -> fetched once); weights stream exactly
+    #     once; output written once. Optimal traffic whenever x fits.
+    #   m_inner   — m-tiles innermost: consecutive same-expert tiles hit the
+    #     same weight block so weights stream once, but the x tiles re-stream
+    #     once per n step.
+    #   n_inner   — n-tiles innermost: x streams once, each m-tile re-streams
+    #     its expert's weights.
+    resident = mode == "x_resident"
     kernel = functools.partial(
-        _grouped_kernel, k_half=k_half, compute_dtype=compute_dtype
+        _grouped_kernel, k_half=k_half, compute_dtype=compute_dtype,
+        resident_tile_m=tile_m if resident else 0,
     )
 
-    # Grid-order heuristic: with m-tiles *innermost* (decode), consecutive
-    # tiles of the same expert map to the same weight block, so the Pallas
-    # pipeline fetches each expert's weights exactly once — the memory-bound
-    # optimum. With n-tiles innermost (prefill), the x tile is re-fetched per
-    # n step instead, which is cheaper once T_pad is large.
-    if m_inner:
-        grid = (n // tile_n, num_tiles)
-        mi = lambda j, i, g: i  # noqa: E731
-        ni = lambda j, i, g: j  # noqa: E731
-    else:
+    if mode == "n_inner":
         grid = (num_tiles, n // tile_n)
         mi = lambda i, j, g: i  # noqa: E731
         ni = lambda i, j, g: j  # noqa: E731
+    else:  # m_inner / x_resident
+        grid = (n // tile_n, num_tiles)
+        mi = lambda j, i, g: i  # noqa: E731
+        ni = lambda j, i, g: j  # noqa: E731
+
+    if resident:
+        x_spec = pl.BlockSpec(
+            (t_pad, k), lambda *a: (0, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        x_spec = pl.BlockSpec(
+            (tile_m, k), lambda *a: (mi(*a), 0), memory_space=pltpu.VMEM
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(
-                (tile_m, k),
-                lambda *a: (mi(*a), 0),
-                memory_space=pltpu.VMEM,
-            ),
+            x_spec,
             pl.BlockSpec(
                 (1, tile_n, k_half),
                 lambda *a: (a[-1][mi(*a)], ni(*a), 0),
@@ -171,6 +191,171 @@ def _grouped_padded(
     )(tile_group_ids, x_sorted, packed, scales[:, None, :], zps[:, None, :])
 
 
+# ---------------------------------------------------------------------------
+# k-split accumulate variant: grid (n, m, k-tile), k innermost, f32 VMEM
+# accumulator revisited across the k sweep. Requested by the round-1 review
+# as the "stop re-streaming weights per m-tile" candidate; measured
+# head-to-head against x_resident/m_inner in benchmark/run_moe_benchmark.py.
+# Traffic model: out written once (accumulator lives in VMEM across the k
+# sweep), x streams once per n step, but each m-tile's k sweep re-fetches its
+# expert's (n-strip, k-tile) blocks — weights re-stream per m-tile of the
+# same expert, so on weight-dominated geometries x_resident/m_inner wins;
+# k-split pays off only when K is too large for a full-K x or weight block.
+# ---------------------------------------------------------------------------
+
+
+def _grouped_ksplit_kernel(
+    gid_ref,      # [num_tiles] i32
+    xlo_ref,      # [TM, TKH] — low-nibble half columns of this k-tile
+    xhi_ref,      # [TM, TKH] — high-nibble half columns
+    w_ref,        # [1, TN, TKH] u8 planar slice
+    s_ref,        # [1, 1, TN] f32
+    z_ref,        # [1, 1, TN] f32
+    o_ref,        # [TM, TN]
+    acc_ref,      # [TM, TN] f32 scratch
+    *,
+    num_k: int,
+    compute_dtype,
+):
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    p = w_ref[0]
+    zp_col = z_ref[0, 0, :][:, None].astype(compute_dtype)
+    qlo = (p & 0x0F).astype(jnp.int8).astype(compute_dtype) - zp_col
+    vhi = (p & 0xF0).astype(jnp.int8).astype(compute_dtype) - 16.0 * (
+        zp_col - 8.0
+    ).astype(compute_dtype)
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    dims = (((1,), (1,)), ((), ()))
+    acc_ref[...] += jax.lax.dot_general(
+        xlo_ref[...].astype(compute_dtype), qlo, dims,
+        preferred_element_type=jnp.float32, precision=prec,
+    ) + 0.0625 * jax.lax.dot_general(
+        xhi_ref[...].astype(compute_dtype), vhi, dims,
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+
+    @pl.when(kk == num_k - 1)
+    def _flush():
+        o_ref[...] = (s_ref[0, 0, :][None, :] * acc_ref[...]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "tile_m", "tile_n", "tile_kh", "compute_dtype", "out_dtype", "interpret"
+    ),
+)
+def _grouped_ksplit_padded(
+    x_sorted, tile_group_ids, packed, scales, zps,
+    *, tile_m, tile_n, tile_kh, compute_dtype, out_dtype, interpret,
+):
+    t_pad, k = x_sorted.shape
+    e, n, k_half = packed.shape
+    num_tiles = t_pad // tile_m
+    num_k = k_half // tile_kh
+    x_lo = x_sorted[:, :k_half]
+    x_hi = x_sorted[:, k_half:]
+
+    kernel = functools.partial(
+        _grouped_ksplit_kernel, num_k=num_k, compute_dtype=compute_dtype
+    )
+    grid = (n // tile_n, num_tiles, num_k)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (tile_m, tile_kh), lambda j, i, kk, g: (i, kk),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile_m, tile_kh), lambda j, i, kk, g: (i, kk),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_n, tile_kh), lambda j, i, kk, g: (g[i], j, kk),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, tile_n), lambda j, i, kk, g: (g[i], 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, tile_n), lambda j, i, kk, g: (g[i], 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_m, tile_n), lambda j, i, kk, g: (i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t_pad, n), out_dtype),
+        interpret=interpret,
+    )(tile_group_ids, x_lo, x_hi, packed, scales[:, None, :], zps[:, None, :])
+
+
+# VMEM working-set budget (bytes) for tile selection; v5e has ~16 MB more or
+# less fully available to Pallas — leave headroom for double buffering and
+# the compiler's own scratch.
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _pick_mode_and_tile_n(t_pad, k, n_pad, e, x_itemsize, tile_m, tile_n, mode):
+    """Pick the execution mode and tile_n minimizing modeled HBM traffic.
+
+    Traffic per mode (W = packed bytes = E*N*K/2, X = t_pad*K*x_itemsize):
+      x_resident: W + X            (requires X + 2*TN*K/2 <= VMEM budget)
+      m_inner:    W + X*(N/TN)
+      n_inner:    X + (t_pad/TM)*(W/E)   (each m-tile streams its expert)
+    """
+    k_half = k // 2
+    x_bytes = t_pad * k * x_itemsize
+    w_bytes = e * n_pad * k_half
+
+    def tn_candidates():
+        cands = []
+        for c in (2048, 1024, 512, 256, 128):
+            if c <= n_pad and n_pad % c == 0:
+                cands.append(c)
+        return cands or [min(512, n_pad)]
+
+    if mode is None:
+        # largest tile_n whose double-buffered weight tile + x tile fits
+        fits = [
+            c for c in tn_candidates()
+            if 2 * c * k_half + 2 * tile_m * k * x_itemsize + 2 * tile_m * c * 4
+            <= _VMEM_BUDGET
+        ]
+        tn_stream = fits[0] if fits else tn_candidates()[-1]
+        resident_ok = (
+            x_bytes + 2 * tn_stream * k_half + 2 * tile_m * tn_stream * 4
+            <= _VMEM_BUDGET
+        )
+        if resident_ok:
+            mode = "x_resident"
+        else:
+            t_m = w_bytes + x_bytes * (n_pad // tn_stream)
+            t_n = x_bytes + (t_pad // tile_m) * (w_bytes // e)
+            mode = "m_inner" if t_m <= t_n else "n_inner"
+        tile_n = tile_n or tn_stream
+    tile_n = tile_n or 512
+    return mode, tile_n
+
+
 def grouped_int4_matmul(
     x_sorted: jnp.ndarray,
     tile_group_ids: jnp.ndarray,
@@ -181,6 +366,7 @@ def grouped_int4_matmul(
     compute_dtype=None,
     out_dtype=None,
     interpret: Optional[bool] = None,
+    mode: Optional[str] = None,
 ) -> jnp.ndarray:
     """Grouped ``x @ dequant(W[g])^T`` over tile-aligned token groups.
 
@@ -189,6 +375,10 @@ def grouped_int4_matmul(
         padded with zero rows to a multiple of ``tile_m`` (T_pad static).
       tile_group_ids: [T_pad // tile_m] i32 — expert id of each m-tile.
       qt: stacked per-expert weights [E, N, K], per_row, planar layout.
+      mode: None (auto by traffic model) | "x_resident" | "m_inner" |
+        "n_inner" | "ksplit". x_resident pins the whole token buffer in VMEM
+        so weights, activations, and output each stream exactly once — the
+        memory-bound optimum whenever x fits (~up to T_pad*K*2 <= ~8 MB).
     Returns [T_pad, N].
     """
     if qt.granularity != "per_row":
@@ -213,7 +403,10 @@ def grouped_int4_matmul(
     if out_dtype is None:
         out_dtype = x_sorted.dtype
 
-    tn = tile_n or min(512, _round_up(n, 128))
+    mode, tn = _pick_mode_and_tile_n(
+        t_pad, k, _round_up(n, tile_n or 128), e,
+        x_sorted.dtype.itemsize, tile_m, tile_n, mode,
+    )
     n_pad = _round_up(n, tn)
     packed, scales, zps = qt.packed, qt.scales, qt.zero_points
     if n_pad != n:
@@ -221,17 +414,26 @@ def grouped_int4_matmul(
         scales = jnp.pad(scales, ((0, 0), (0, n_pad - n)))
         zps = jnp.pad(zps, ((0, 0), (0, n_pad - n)))
 
-    # Decode (small token count): weight traffic dominates -> m innermost.
-    x_bytes_per_nsweep = t_pad * k * x_sorted.dtype.itemsize
-    m_inner = x_bytes_per_nsweep * (n_pad // tn) <= qt.packed.size
-
-    out = _grouped_padded(
-        x_sorted, tile_group_ids.astype(jnp.int32), packed,
-        scales.astype(jnp.float32), zps.astype(jnp.float32),
-        tile_m=tile_m, tile_n=tn,
-        compute_dtype=compute_dtype, out_dtype=out_dtype, interpret=interpret,
-        m_inner=m_inner,
-    )
+    if mode == "ksplit":
+        k_half = k // 2
+        tile_kh = max(128, min(1024, k_half))
+        while k_half % tile_kh != 0:
+            tile_kh //= 2
+        out = _grouped_ksplit_padded(
+            x_sorted, tile_group_ids.astype(jnp.int32), packed,
+            scales.astype(jnp.float32), zps.astype(jnp.float32),
+            tile_m=tile_m, tile_n=tn, tile_kh=tile_kh,
+            compute_dtype=compute_dtype, out_dtype=out_dtype,
+            interpret=interpret,
+        )
+    else:
+        out = _grouped_padded(
+            x_sorted, tile_group_ids.astype(jnp.int32), packed,
+            scales.astype(jnp.float32), zps.astype(jnp.float32),
+            tile_m=tile_m, tile_n=tn,
+            compute_dtype=compute_dtype, out_dtype=out_dtype,
+            interpret=interpret, mode=mode,
+        )
     return out[:, :n]
 
 

@@ -199,19 +199,35 @@ class ServingEngine:
         while self._free and self.queue:
             slot = self._free.pop()
             req = self.queue.popleft()
-            prompt = np.asarray(req.prompt, np.int32)[-self.prefill_bucket:]
+            prompt = np.asarray(req.prompt, np.int32)
             true_len = len(prompt)
             bucket = self.prefill_bucket
-            # RIGHT-pad to the compile bucket. This is exactly correct:
-            # during prefill the junk sits at positions > every real token,
-            # so causal masking hides it; afterwards we rewind the slot's
-            # cache length to true_len, and each decode step *overwrites* the
-            # junk at position p before the same step's attention reads p.
-            padded = np.pad(prompt, (0, bucket - true_len))
-            logits_all, self.caches = self._prefill(
-                self.model, self.caches, jnp.asarray(padded),
-                jnp.int32(slot), jnp.int32(0),
-            )
+            reserved = self.prefill_bucket if self.mesh is not None else 0
+            if true_len > self.max_seq - 1 - reserved:
+                # Refusing loudly beats the silent-truncation hole flagged in
+                # round 1 (prompt[-bucket:] generated from a corrupted head).
+                raise ValueError(
+                    f"prompt length {true_len} exceeds cache budget "
+                    f"{self.max_seq - 1 - reserved} (max_seq={self.max_seq})"
+                )
+            # CHUNKED prefill: loop bucket-sized chunks through the one
+            # compiled prefill program. Each chunk appends its K/V at
+            # positions [start, start+bucket); the final chunk is RIGHT-padded
+            # to the compile bucket — exactly correct because the junk sits at
+            # positions > every real token (causal masking hides it during
+            # prefill), the slot's length is rewound to true_len afterwards,
+            # and each decode step overwrites junk at position p before the
+            # same step's attention reads p.
+            num_chunks = max(1, -(-true_len // bucket))
+            last_start = (num_chunks - 1) * bucket
+            rem = true_len - last_start  # tokens in the final chunk (1..bucket)
+            for c in range(num_chunks):
+                chunk = prompt[c * bucket : (c + 1) * bucket]
+                padded = np.pad(chunk, (0, bucket - len(chunk)))
+                logits_all, self.caches = self._prefill(
+                    self.model, self.caches, jnp.asarray(padded),
+                    jnp.int32(slot), jnp.int32(c * bucket),
+                )
             # rewind slot length to the real prompt length
             self.caches = tuple(
                 dataclasses.replace(
@@ -219,7 +235,11 @@ class ServingEngine:
                 )
                 for c in self.caches
             )
-            nxt = int(jnp.argmax(logits_all[true_len - 1]))
+            # First generated token goes through the configured sampler too
+            # (round-1 review: hardcoded argmax silently bypassed temperature
+            # sampling for token 0 of every request).
+            self._key, sub = jax.random.split(self._key)
+            nxt = int(self.sampler.sample(logits_all[rem - 1][None, :], sub)[0])
             self.active[slot] = req
             self.generated[req.uid] = [nxt]
             self._cur[slot] = nxt

@@ -4,6 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # run with: pytest -m slow (or -m "")
+
 from fused4bit_tpu.layers.kv_cache import QuantizedKVCache, dequantize_kv, quantize_kv
 from fused4bit_tpu.models.config import flagship_model_config
 from fused4bit_tpu.models.transformer import QuantizedTransformer, rms_norm, rotary_embedding

@@ -137,6 +137,17 @@ class TestGroupedKernel:
         want = self._golden(qt, xs, plan)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
 
+    @pytest.mark.parametrize("mode", ["x_resident", "m_inner", "n_inner", "ksplit"])
+    def test_grouped_modes_match_golden(self, rng, mode):
+        """Every execution mode (grid ordering / VMEM residency / k-split
+        accumulate) computes the same grouped GEMM."""
+        w, qt, x, r, plan, xs = self._setup(rng)
+        got = grouped_int4_matmul(
+            xs, plan.tile_group_ids, qt, tile_m=TILE_M, mode=mode
+        )
+        want = self._golden(qt, xs, plan)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
+
     def test_end_to_end_vs_dense_moe(self, rng):
         """dispatch -> grouped INT4 GEMM -> combine == dense per-token MoE."""
         w, qt, x, r, plan, xs = self._setup(rng)

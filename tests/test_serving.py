@@ -4,6 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # run with: pytest -m slow (or -m "")
+
 from fused4bit_tpu.models.config import flagship_model_config
 from fused4bit_tpu.models.transformer import QuantizedTransformer
 from fused4bit_tpu.serving.engine import GenerationRequest, Sampler, ServingEngine
@@ -108,6 +110,61 @@ class TestEngine:
         eng.submit(GenerationRequest(uid=0, prompt=[1], max_new_tokens=4))
         out = eng.run()
         assert len(out[0]) == 4
+
+    def test_chunked_prefill_matches_plain(self, setup):
+        """A prompt 3x the prefill bucket must NOT be truncated: the engine
+        loops bucket-sized chunks through the compiled prefill program and the
+        first generated token matches a plain full-prompt forward (round-1
+        review: prompt[-bucket:] silently dropped the head)."""
+        cfg, model = setup
+        prompt = list(range(3, 3 + 20))  # 20 tokens, bucket 8 -> chunks 8/8/4
+        caches = model.init_cache(cfg, 1, max_seq=64)
+        logits, _ = model(
+            jnp.asarray(prompt, jnp.int32)[None], caches,
+            jnp.arange(len(prompt)),
+        )
+        plain = np.asarray(logits[0, -1], np.float32)
+        eng = make_engine(cfg, model, num_slots=2, prefill_bucket=8)
+        eng.submit(GenerationRequest(uid=0, prompt=prompt, max_new_tokens=2))
+        out = eng.run()
+        # 1-ULP compile nondeterminism tolerance (see test_matches_plain_decode)
+        assert out[0][0] in np.argsort(plain)[-2:]
+
+    def test_chunked_prefill_multiple_of_bucket(self, setup):
+        """Exact-multiple prompt length (no ragged final chunk)."""
+        cfg, model = setup
+        prompt = list(range(2, 18))  # 16 tokens = 2 full buckets of 8
+        caches = model.init_cache(cfg, 1, max_seq=64)
+        logits, _ = model(
+            jnp.asarray(prompt, jnp.int32)[None], caches,
+            jnp.arange(len(prompt)),
+        )
+        plain = np.asarray(logits[0, -1], np.float32)
+        eng = make_engine(cfg, model, num_slots=2, prefill_bucket=8)
+        eng.submit(GenerationRequest(uid=0, prompt=prompt, max_new_tokens=1))
+        out = eng.run()
+        assert out[0][0] in np.argsort(plain)[-2:]
+
+    def test_first_token_uses_sampler(self, setup):
+        """Token 0 of every request must route through the configured Sampler
+        (round-1 review: it was hardcoded argmax)."""
+
+        class ConstSampler(Sampler):
+            def sample(self, logits, key):
+                return jnp.full((logits.shape[0],), 42, jnp.int32)
+
+        cfg, model = setup
+        eng = make_engine(cfg, model, sampler=ConstSampler())
+        eng.submit(GenerationRequest(uid=0, prompt=[1, 2, 3], max_new_tokens=3))
+        out = eng.run()
+        assert out[0] == [42, 42, 42]
+
+    def test_overlong_prompt_raises(self, setup):
+        cfg, model = setup
+        eng = make_engine(cfg, model, max_seq=16, prefill_bucket=8)
+        eng.submit(GenerationRequest(uid=0, prompt=[1] * 16, max_new_tokens=1))
+        with pytest.raises(ValueError, match="prompt length"):
+            eng.run()
 
 
 class TestShardedEngine:
