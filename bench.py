@@ -35,7 +35,8 @@ def main():
 
     cfg = flagship_model_config("small")  # 4L, h=1024, 8 experts, ffn=3584
     model = QuantizedTransformer.init(jax.random.PRNGKey(0), cfg)
-    dense = dense_from_quantized(model)
+    dense = dense_from_quantized(model)                     # naive gather MoE
+    strong = dense_from_quantized(model, moe_impl="dense_all")  # streamed MoE
     b, steps = 8, 24
 
     def bench(m, caches):
@@ -61,13 +62,20 @@ def main():
         return sorted(ts)[len(ts) // 2]
 
     t_int4 = bench(model, model.init_cache(cfg, b, 256))
-    t_bf16 = bench(dense, dense.init_cache(cfg, b, 256))
+    t_naive = bench(dense, dense.init_cache(cfg, b, 256))
+    t_strong = bench(strong, strong.init_cache(cfg, b, 256))
 
+    # vs_baseline is the STRONG dense twin (each expert's weights streamed
+    # once per step — the memory-bound optimum for a bf16 XLA baseline);
+    # vs_naive_dense mirrors the reference's naive-FP16 comparison philosophy
+    # (README.md:24-34) and is reported alongside for parity.
     print(json.dumps({
         "metric": "int4_model_decode_ms_per_step_mixtral_small_b8",
         "value": round(t_int4 * 1e3, 3),
         "unit": "ms",
-        "vs_baseline": round(t_bf16 / t_int4, 3),
+        "vs_baseline": round(t_strong / t_int4, 3),
+        "vs_strong_dense": round(t_strong / t_int4, 3),
+        "vs_naive_dense": round(t_naive / t_int4, 3),
     }))
 
 

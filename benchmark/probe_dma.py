@@ -31,7 +31,9 @@ def pallas_stream_sum(a, tile_rows=512):
     rows, cols = a.shape
 
     def kern(a_ref, o_ref):
-        o_ref[0, 0] = jnp.sum(a_ref[...].astype(jnp.int32))
+        o_ref[...] = jnp.broadcast_to(
+            jnp.sum(a_ref[...].astype(jnp.int32)), o_ref.shape
+        )
 
     return pl.pallas_call(
         kern,
@@ -39,8 +41,8 @@ def pallas_stream_sum(a, tile_rows=512):
         in_specs=[
             pl.BlockSpec((tile_rows, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((rows // tile_rows, 1), jnp.int32),
+        out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows // tile_rows, 8, 128), jnp.int32),
     )(a)
 
 

@@ -1,0 +1,219 @@
+#!/usr/bin/env python
+"""Mixtral-8x7B MoE-layer evidence sweep (the round-1 verdict's top item).
+
+Single-projection grouped GEMM at the reference's flagship geometry
+(`/root/reference/python/moe_int4_module.py:159-165`: 8 experts, 4096->14336,
+top-2), measured across decode/prefill token counts x routing distributions,
+with a MEASURED bf16 capacity-einsum baseline in every cell (the round-1
+artifact had none) and every INT4 execution path side by side:
+
+  bf16-bmm    capacity-padded batched einsum over dense bf16 weights —
+              the strong baseline (reference `grouped_gemm_torch.py:48-100`)
+  int4        fused grouped Pallas kernel, auto mode (the product)
+  int4-xres / int4-minner / int4-ninner / int4-ksplit — explicit modes
+  int4-dequant dequantize-once + capacity einsum (XLA-streaming INT4 path)
+  w4a8        int8-activation integer-MXU grouped kernel
+  pg128       per_group(128) grouped kernel
+
+All timing uses the scan-in-jit protocol (utils.benchmark.time_fn_scan) —
+the only trustworthy protocol on this platform (single-call
+block_until_ready can return early; see AGENTS.md). Results are appended
+incrementally to benchmark/results/mixtral_sweep.json so partial runs
+still leave evidence.
+
+Usage:
+  python benchmark/run_mixtral_artifact.py --tokens 8 32 128 2048 \
+      --dists uniform skewed --iters 8
+"""
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+import _bootstrap  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from fused4bit_tpu.layers.moe import (
+    dispatch,
+    make_dispatch_plan,
+    simulate_router_logits,
+    topk_route,
+)
+from fused4bit_tpu.ops.grouped_matmul import (
+    grouped_int4_matmul,
+    grouped_int4_matmul_a8,
+    grouped_int4_matmul_per_group,
+)
+from fused4bit_tpu.quant import dequantize, quantize
+from fused4bit_tpu.utils.benchmark import time_fn_scan
+
+E, K, N, TOPK = 8, 4096, 14336, 2
+
+
+_WEIGHTS = {}
+
+
+def build_weights(seed=0):
+    """Quantize once per process — weights are generated ON DEVICE (a host
+    transfer of the 1.9 GB f32 tensor through the tunnel takes minutes)."""
+    if _WEIGHTS:
+        return _WEIGHTS
+
+    @jax.jit
+    def make(key):
+        w = jax.random.normal(key, (E, N, K), jnp.float32) * 0.02
+        return (
+            quantize(w, layout="planar"),
+            quantize(w, layout="planar", granularity="per_group",
+                     group_size=128),
+            w.astype(jnp.bfloat16),
+        )
+
+    qt, qt_pg, wb = jax.block_until_ready(make(jax.random.PRNGKey(seed)))
+    _WEIGHTS.update(qt=qt, qt_pg=qt_pg, wb=wb)
+    return _WEIGHTS
+
+
+def build(num_tokens, distribution, tile_m, seed=0):
+    env = dict(build_weights(seed))
+    key = jax.random.PRNGKey(seed + 1)
+    x = jax.random.normal(key, (num_tokens, K), jnp.bfloat16)
+    logits = simulate_router_logits(
+        jax.random.PRNGKey(seed), num_tokens, E, distribution
+    )
+    routing = topk_route(logits, TOPK, E)
+    plan = make_dispatch_plan(routing, E, tile_m=tile_m)
+    xs = jax.block_until_ready(dispatch(x, routing, plan))
+    # capacity layout for the dense/einsum paths: same total rows as the
+    # dropless plan (fair: identical GEMM work)
+    env.update(xs=xs, plan=plan, cap=plan.t_pad // E)
+    return env
+
+
+def implementations(env, tile_m, which):
+    qt, qt_pg, wb, plan, cap = (
+        env["qt"], env["qt_pg"], env["wb"], env["plan"], env["cap"]
+    )
+    gids = plan.tile_group_ids
+
+    impls = {}
+
+    def reg(name, fn):
+        if not which or name in which:
+            impls[name] = fn
+
+    reg("bf16-bmm", lambda xs: jnp.einsum(
+        "eck,enk->ecn", xs[: E * cap].reshape(E, cap, K), wb
+    ).reshape(-1, N))
+    reg("int4", lambda xs: grouped_int4_matmul(xs, gids, qt, tile_m=tile_m))
+    reg("int4-xres", lambda xs: grouped_int4_matmul(
+        xs, gids, qt, tile_m=tile_m, mode="x_resident"))
+    reg("int4-minner", lambda xs: grouped_int4_matmul(
+        xs, gids, qt, tile_m=tile_m, mode="m_inner"))
+    reg("int4-ninner", lambda xs: grouped_int4_matmul(
+        xs, gids, qt, tile_m=tile_m, mode="n_inner"))
+    reg("int4-ksplit", lambda xs: grouped_int4_matmul(
+        xs, gids, qt, tile_m=tile_m, mode="ksplit"))
+
+    def int4_dequant(xs):
+        wd = dequantize(qt, dtype=jnp.bfloat16)
+        return jnp.einsum(
+            "eck,enk->ecn", xs[: E * cap].reshape(E, cap, K), wd
+        ).reshape(-1, N)
+
+    reg("int4-dequant", int4_dequant)
+    a8_tile = max(32, tile_m)
+    reg("w4a8", lambda xs: grouped_int4_matmul_a8(xs, gids, qt, tile_m=a8_tile)
+        if plan.t_pad % a8_tile == 0 else None)
+    reg("pg128", lambda xs: grouped_int4_matmul_per_group(
+        xs, gids, qt_pg, tile_m=tile_m))
+    return impls
+
+
+def verify_cell(env, tile_m):
+    """Max rel error of the fused kernel vs f32 dequant golden on this cell."""
+    qt, xs, plan = env["qt"], env["xs"], env["plan"]
+    got = grouped_int4_matmul(xs, plan.tile_group_ids, qt, tile_m=tile_m)
+    wd = dequantize(qt, dtype=jnp.float32)
+    nt = plan.t_pad // plan.tile_m
+    xt = xs.reshape(nt, plan.tile_m, -1).astype(jnp.float32)
+    want = jnp.einsum(
+        "tmk,tnk->tmn", xt, wd[plan.tile_group_ids],
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(plan.t_pad, -1)
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - want)))
+    return err / max(float(jnp.max(jnp.abs(want))), 1e-9)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--tokens", type=int, nargs="*", default=[8, 32, 128, 2048])
+    p.add_argument("--dists", nargs="*", default=["uniform", "skewed"])
+    p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--repeats", type=int, default=4)
+    p.add_argument("--tile-m", type=int, default=16)
+    p.add_argument("--prefill-tile-m", type=int, default=64,
+                   help="tile_m when T*top_k > 512 (MXU efficiency)")
+    p.add_argument("--impls", nargs="*", default=None)
+    p.add_argument("--verify", action="store_true", default=True)
+    p.add_argument("--no-verify", dest="verify", action="store_false")
+    p.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "results",
+        "mixtral_sweep.json"))
+    args = p.parse_args(argv)
+
+    print(f"backend: {jax.default_backend()}  device: {jax.devices()[0]}")
+    results = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f)
+
+    for t in args.tokens:
+        tile_m = args.tile_m if t * TOPK <= 512 else args.prefill_tile_m
+        for dist in args.dists:
+            cell_key = f"T{t}_{dist}"
+            cell = results.setdefault(cell_key, {})
+            env = build(t, dist, tile_m)
+            print(f"\n=== T={t} dist={dist} tile_m={tile_m} "
+                  f"t_pad={env['plan'].t_pad} ===")
+            if args.verify:
+                rel = verify_cell(env, tile_m)
+                cell["verify_rel_err"] = rel
+                print(f"  verify int4 vs f32 golden: rel {rel:.5f} "
+                      f"{'OK' if rel < 2e-2 else 'FAIL'}")
+            for name, fn in implementations(env, tile_m, args.impls).items():
+                try:
+                    sec = time_fn_scan(
+                        fn, env["xs"], iters=args.iters,
+                        repeats=args.repeats, warmup=1,
+                    )
+                except Exception as exc:
+                    print(f"  [skip] {name}: {type(exc).__name__}: "
+                          f"{str(exc)[:110]}")
+                    continue
+                cell[name] = round(sec * 1e3, 4)
+                base = cell.get("bf16-bmm")
+                sp = f"  ({base / cell[name]:.2f}x vs bf16)" if base else ""
+                print(f"  {name:<14} {sec * 1e3:9.3f} ms{sp}")
+                with open(args.out, "w") as f:
+                    json.dump(results, f, indent=2)
+            del env
+    meta = results.setdefault("_meta", {})
+    meta.update(dict(
+        geometry=f"E={E} {K}->{N} top{TOPK}",
+        protocol=f"time_fn_scan iters={args.iters} repeats={args.repeats} "
+                 "(scan-in-jit, min-of-repeats)",
+        backend=jax.default_backend(),
+        device=str(jax.devices()[0]),
+    ))
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"\nwrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

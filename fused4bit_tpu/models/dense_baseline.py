@@ -75,6 +75,16 @@ class DenseBlock:
     rope_theta: float = dataclasses.field(metadata=dict(static=True))
     top_k: int = dataclasses.field(metadata=dict(static=True))
     rms_eps: float = dataclasses.field(metadata=dict(static=True))
+    # MoE execution strategy for the baseline:
+    #   "gather" — per-token expert weight gather (the reference's naive-FP16
+    #     comparison philosophy: materializes [T*k, ffn, H] weight copies).
+    #   "dense_all" — STRONG baseline: run every token through every expert
+    #     with one batched einsum per projection (each expert's weights
+    #     stream from HBM exactly once — the memory-bound optimum for
+    #     decode-size T), then weight by the router's top-k scores. Dropless
+    #     and gather-free; extra FLOPs (E/top_k x) are irrelevant in the
+    #     weight-streaming-bound decode regime this baseline serves.
+    moe_impl: str = dataclasses.field(metadata=dict(static=True), default="gather")
 
     def __call__(self, x, cache: DenseKVCache, positions):
         b, t, _ = x.shape
@@ -99,19 +109,34 @@ class DenseBlock:
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, nh * hd)
         x = x + attn @ self.wo.T
 
-        # MoE: dense per-token expert gather (simple, correct baseline)
         h = rms_norm(x, self.moe_norm, self.rms_eps)
         bt = b * t
         hf = h.reshape(bt, -1)
         routing = topk_route(hf @ self.router.T, self.top_k, self.router.shape[0])
-        wg = self.w_gate[routing.expert_indices]   # [bt, k, ffn, H]
-        wu = self.w_up[routing.expert_indices]
-        wd = self.w_down[routing.expert_indices]   # [bt, k, H, ffn]
-        g = jnp.einsum("bh,bkfh->bkf", hf, wg)
-        u = jnp.einsum("bh,bkfh->bkf", hf, wu)
-        act = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(hf.dtype)
-        d = jnp.einsum("bkf,bkhf->bkh", act, wd)
-        y = jnp.sum(d * routing.expert_weights[..., None].astype(d.dtype), axis=1)
+        if self.moe_impl == "dense_all":
+            # Strong baseline: every token x every expert, one streamed
+            # einsum per projection, router-weighted combine.
+            g = jnp.einsum("th,efh->tef", hf, self.w_gate)
+            u = jnp.einsum("th,efh->tef", hf, self.w_up)
+            act = (
+                jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)
+            ).astype(hf.dtype)
+            d = jnp.einsum("tef,ehf->teh", act, self.w_down)  # [T, E, H]
+            e = self.router.shape[0]
+            wmat = jnp.zeros((bt, e), jnp.float32).at[
+                jnp.arange(bt)[:, None], routing.expert_indices
+            ].add(routing.expert_weights)
+            y = jnp.einsum("teh,te->th", d.astype(jnp.float32), wmat).astype(hf.dtype)
+        else:
+            # Per-token expert gather (the reference's naive-FP16 philosophy)
+            wg = self.w_gate[routing.expert_indices]   # [bt, k, ffn, H]
+            wu = self.w_up[routing.expert_indices]
+            wd = self.w_down[routing.expert_indices]   # [bt, k, H, ffn]
+            g = jnp.einsum("bh,bkfh->bkf", hf, wg)
+            u = jnp.einsum("bh,bkfh->bkf", hf, wu)
+            act = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(hf.dtype)
+            d = jnp.einsum("bkf,bkhf->bkh", act, wd)
+            y = jnp.sum(d * routing.expert_weights[..., None].astype(d.dtype), axis=1)
         return x + y.reshape(b, t, -1), cache
 
 
@@ -146,8 +171,14 @@ class DenseTransformer:
         return sum(a.size * a.dtype.itemsize for a in jax.tree_util.tree_leaves(self))
 
 
-def dense_from_quantized(model: QuantizedTransformer, dtype=jnp.bfloat16):
-    """Dequantize an INT4 model into its dense bf16 twin."""
+def dense_from_quantized(
+    model: QuantizedTransformer, dtype=jnp.bfloat16, moe_impl: str = "gather"
+):
+    """Dequantize an INT4 model into its dense bf16 twin.
+
+    moe_impl: "gather" (naive per-token weight gather) or "dense_all"
+    (strong streamed-einsum baseline) — see DenseBlock.moe_impl.
+    """
 
     def dq(ql):
         return dequantize(ql.weight, dtype=dtype)

@@ -117,11 +117,11 @@ class Attention:
         # Cache index == sequence position: row b writes at positions[b, 0].
         cache = cache.append(k, v, start=positions[:, 0])
 
-        # Fused-kernel VMEM bound: the flash program holds [G*T, s_tile] f32
-        # scores plus scratch; cap the flattened query-row count so large
-        # prefill chunks fall back to the jnp path instead of OOMing VMEM.
-        g_rows = (nh // nkv) * t
-        if self.use_fused_attention and g_rows <= 512:
+        # The fused flash kernels bound VMEM internally (the prefill kernel
+        # q-tiles to <= 512 rows per program), so every chunk length runs
+        # fused; the jnp path below remains only as the golden/debug fallback
+        # (use_fused_attention=False).
+        if self.use_fused_attention:
             # Fused kernels read the packed INT4 cache directly (never
             # materialize bf16 K/V). Correct when each row's history is
             # contiguous below its length and this call's writes are the most
@@ -176,6 +176,22 @@ class MoEBlock:
     prefill_threshold: int = dataclasses.field(
         metadata=dict(static=True), default=512
     )
+    # Prefill-regime implementation:
+    #   "grouped" — DROPLESS tile-packed plan through the grouped kernel with
+    #     a larger tile_m (MXU efficiency); weights stream once in
+    #     x_resident/m_inner mode, so this is both correct (Mixtral semantics
+    #     are dropless) and fast. Default per the round-1 review: the capacity
+    #     path silently zeroed overflow tokens.
+    #   "einsum" — capacity-layout dequant-once einsums (Switch-style drops
+    #     beyond capacity_factor x mean load); kept for benchmarks and as the
+    #     XLA-streaming comparison point.
+    prefill_impl: str = dataclasses.field(
+        metadata=dict(static=True), default="grouped"
+    )
+    prefill_tile_m: int = dataclasses.field(metadata=dict(static=True), default=64)
+    capacity_factor: float = dataclasses.field(
+        metadata=dict(static=True), default=2.0
+    )
 
     @classmethod
     def init(cls, key, num_experts, hidden, ffn, top_k, tile_m=16):
@@ -196,34 +212,42 @@ class MoEBlock:
         xf = x.reshape(b * t, h)
         routing = topk_route(self.router(xf), self.top_k, self.num_experts)
         if b * t > self.prefill_threshold:
-            return self._prefill_forward(xf, routing).reshape(b, t, h)
-        plan = make_dispatch_plan(routing, self.num_experts, tile_m=self.tile_m)
+            if self.prefill_impl == "einsum":
+                return self._prefill_forward(xf, routing).reshape(b, t, h)
+            # dropless grouped-kernel prefill with a larger m-tile
+            return self._grouped_forward(
+                xf, routing, self.prefill_tile_m
+            ).reshape(b, t, h)
+        return self._grouped_forward(xf, routing, self.tile_m).reshape(b, t, h)
+
+    def _grouped_forward(self, xf, routing, tile_m) -> jnp.ndarray:
+        """Dropless path: tile-packed dispatch -> grouped kernel -> combine."""
+        plan = make_dispatch_plan(routing, self.num_experts, tile_m=tile_m)
         xs = dispatch(xf, routing, plan)               # [T_pad, H]
-        g = self.w_gate(xs, plan.tile_group_ids, tile_m=self.tile_m)
-        u = self.w_up(xs, plan.tile_group_ids, tile_m=self.tile_m)
+        g = self.w_gate(xs, plan.tile_group_ids, tile_m=tile_m)
+        u = self.w_up(xs, plan.tile_group_ids, tile_m=tile_m)
         hsw = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(
             xs.dtype
         )
-        d = self.w_down(hsw, plan.tile_group_ids, tile_m=self.tile_m)
-        y = combine(d, routing, plan)
-        return y.reshape(b, t, h)
+        d = self.w_down(hsw, plan.tile_group_ids, tile_m=tile_m)
+        return combine(d, routing, plan)
 
     def _prefill_forward(self, xf: jnp.ndarray, routing) -> jnp.ndarray:
-        """Prefill regime: capacity layout + dequant-once dense einsums.
+        """Capacity-einsum prefill (prefill_impl="einsum"): capacity layout +
+        dequant-once dense einsums.
 
-        At large token counts the grouped kernel would re-stream the packed
-        expert weights once per m-tile; dequantizing each projection once and
-        running XLA batched einsums over the static [E, C, H] capacity layout
-        streams them once (the same trade as the linear kernel's
-        prefill_threshold dispatch). Capacity 2x the mean load: overflow
-        tokens drop (Switch semantics) — acceptable in the compute-bound
-        regime this path serves.
+        Dequantizing each projection once and running XLA batched einsums over
+        the static [E, C, H] capacity layout streams weights at XLA's rate.
+        Capacity = capacity_factor x mean load: overflow tokens DROP (Switch
+        semantics) — use `expert_load_stats(routing, capacity)` to observe
+        drop counts; the default prefill path ("grouped") is dropless.
         """
         from ..layers.moe import make_capacity_plan
         from ..quant.core import dequantize
 
         tk = xf.shape[0] * self.top_k
-        cap = -(-2 * tk // self.num_experts // self.tile_m) * self.tile_m
+        cf = self.capacity_factor
+        cap = int(-(-cf * tk // self.num_experts // self.tile_m)) * self.tile_m
         plan = make_capacity_plan(
             routing, self.num_experts, capacity=cap, tile_m=self.tile_m
         )

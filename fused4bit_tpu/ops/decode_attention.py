@@ -61,27 +61,29 @@ def _dequant_rows(p, zp_col, s_col, compute_dtype):
 
 def _attn_kernel(
     len_ref,      # [2B] i32 (scalar prefetch): [lengths | query starts]
-    q_ref,        # [1, 1, G*T, D]
+    q_ref,        # [1, 1, QR, D] — QR = QT*G rows, t-major ((t, g) pairs)
     kp_ref,       # [1, 1, St, D/2] u8
     ks_ref,       # [1, 1, St, 1] f32
     kz_ref,       # [1, 1, St, 1] f32
     vp_ref,       # [1, 1, St, D/2] u8
     vs_ref,       # [1, 1, St, 1] f32
     vz_ref,       # [1, 1, St, 1] f32
-    o_ref,        # [1, 1, G, D]
-    m_ref,        # [G, 1] f32 scratch: running max
-    l_ref,        # [G, 1] f32 scratch: running denom
-    acc_ref,      # [G, D] f32 scratch: running numerator
+    o_ref,        # [1, 1, QR, D]
+    m_ref,        # [QR, 1] f32 scratch: running max
+    l_ref,        # [QR, 1] f32 scratch: running denom
+    acc_ref,      # [QR, D] f32 scratch: running numerator
     *,
     head_dim: int,
     s_tile: int,
     n_s: int,
-    n_q: int,        # queries per row (T; 1 for decode)
+    g: int,          # query heads per kv head (rows per query position)
+    qt_queries: int, # query positions per q-tile (QT)
     batch: int,
     compute_dtype,
 ):
     b = pl.program_id(0)
-    t = pl.program_id(2)
+    qt = pl.program_id(2)
+    t = pl.program_id(3)
     length = len_ref[b]
     qstart = len_ref[batch + b]
 
@@ -91,28 +93,30 @@ def _attn_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # Only tiles overlapping [0, length) contribute.
-    @pl.when(t * s_tile < length)
+    # Only tiles overlapping [0, length) AND not entirely in this q-tile's
+    # causal future contribute (the second condition halves prefill work).
+    q_hi = qstart + (qt + 1) * qt_queries - 1  # last query position in tile
+    @pl.when((t * s_tile < length) & (t * s_tile <= q_hi))
     def _tile():
         k = _dequant_rows(kp_ref[0, 0], kz_ref[0, 0], ks_ref[0, 0], compute_dtype)
-        q = q_ref[0, 0].astype(compute_dtype)  # [G, D]
+        q = q_ref[0, 0].astype(compute_dtype)  # [QR, D]
         scores = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (1.0 / (head_dim ** 0.5))  # [G, St]
+        ) * (1.0 / (head_dim ** 0.5))  # [QR, St]
         span = t * s_tile + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        # Causal per query: row r (layout [G, T] flattened) is the query at
-        # position qstart + (r mod T); it may attend to s <= its position and
-        # only to filled entries (s < length).
-        qpos = qstart + (
-            jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) % n_q
+        # Causal per query: rows are t-major ((query, group) pairs), so row r
+        # is the query at position qstart + qt*QT + r//G; it may attend to
+        # s <= its position and only to filled entries (s < length).
+        qpos = qstart + qt * qt_queries + (
+            jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) // g
         )
         mask = (span <= qpos) & (span < length)
         scores = jnp.where(mask, scores, _NEG_INF)
 
         m_prev = m_ref[:]
         m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)          # [G, 1]
-        p = jnp.exp(scores - m_new)              # [G, St] f32
+        alpha = jnp.exp(m_prev - m_new)          # [QR, 1]
+        p = jnp.exp(scores - m_new)              # [QR, St] f32
         l_ref[:] = alpha * l_ref[:] + jnp.sum(p, axis=1, keepdims=True)
         v = _dequant_rows(vp_ref[0, 0], vz_ref[0, 0], vs_ref[0, 0], compute_dtype)
         pv = jax.lax.dot_general(
@@ -124,61 +128,69 @@ def _attn_kernel(
 
     @pl.when(t == n_s - 1)
     def _finish():
-        o_ref[0, 0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        # Rows whose query tile never saw a valid entry keep l = 0 (possible
+        # only for padded query rows, which callers slice off); guard the
+        # division so they emit 0, not NaN.
+        denom = jnp.maximum(l_ref[:], 1e-30)
+        o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("s_tile", "n_q", "compute_dtype", "out_dtype", "interpret"),
+    static_argnames=(
+        "s_tile", "n_q", "q_tile", "compute_dtype", "out_dtype", "interpret"
+    ),
 )
 def _attn_call(
     q4, lens_and_starts, kp, ks, kz, vp, vs, vz,
-    *, s_tile, n_q, compute_dtype, out_dtype, interpret,
+    *, s_tile, n_q, q_tile, compute_dtype, out_dtype, interpret,
 ):
-    b, h_kv, gt, d = q4.shape
-    g = gt  # rows per (batch, kv head): G*T flattened
+    b, h_kv, rows, d = q4.shape
+    g = rows // n_q  # query heads per kv head; rows are t-major (T, G)
     s_max = kp.shape[2]
     n_s = s_max // s_tile
+    n_qt = n_q // q_tile
+    qr = q_tile * g
     kernel = functools.partial(
         _attn_kernel,
-        head_dim=d, s_tile=s_tile, n_s=n_s, n_q=n_q, batch=b,
+        head_dim=d, s_tile=s_tile, n_s=n_s, g=g, qt_queries=q_tile, batch=b,
         compute_dtype=compute_dtype,
     )
 
     def vec():
         return pl.BlockSpec(
-            (1, 1, s_tile, 1), lambda i, j, t, L: (i, j, t, 0),
+            (1, 1, s_tile, 1), lambda i, j, qt, t, L: (i, j, t, 0),
             memory_space=pltpu.VMEM,
         )
 
     def pk():
         return pl.BlockSpec(
-            (1, 1, s_tile, d // 2), lambda i, j, t, L: (i, j, t, 0),
+            (1, 1, s_tile, d // 2), lambda i, j, qt, t, L: (i, j, t, 0),
             memory_space=pltpu.VMEM,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, h_kv, n_s),
+        grid=(b, h_kv, n_qt, n_s),
         in_specs=[
-            pl.BlockSpec((1, 1, g, d), lambda i, j, t, L: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, qr, d), lambda i, j, qt, t, L: (i, j, qt, 0),
                          memory_space=pltpu.VMEM),
             pk(), vec(), vec(), pk(), vec(), vec(),
         ],
-        out_specs=pl.BlockSpec((1, 1, g, d), lambda i, j, t, L: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, qr, d), lambda i, j, qt, t, L: (i, j, qt, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((g, 1), jnp.float32),
-            pltpu.VMEM((g, 1), jnp.float32),
-            pltpu.VMEM((g, d), jnp.float32),
+            pltpu.VMEM((qr, 1), jnp.float32),
+            pltpu.VMEM((qr, 1), jnp.float32),
+            pltpu.VMEM((qr, d), jnp.float32),
         ],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h_kv, g, d), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h_kv, rows, d), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(
@@ -221,8 +233,8 @@ def int4_decode_attention(
         q4, lens_starts,
         cache.k_packed, cache.k_scale, cache.k_zp,
         cache.v_packed, cache.v_scale, cache.v_zp,
-        s_tile=st, n_q=1, compute_dtype=compute_dtype, out_dtype=out_dtype,
-        interpret=interpret,
+        s_tile=st, n_q=1, q_tile=1, compute_dtype=compute_dtype,
+        out_dtype=out_dtype, interpret=interpret,
     )
     return out.reshape(b, hq, d)
 
@@ -239,8 +251,13 @@ def int4_prefill_attention(
 ) -> jnp.ndarray:
     """Chunked prefill attention over the packed INT4 cache.
 
-    Same kernel as decode with T queries per (batch, kv head) program and a
-    per-query causal mask: query t attends to positions <= starts[b] + t.
+    Same flash kernel as decode, with the queries tiled over a fourth grid
+    dimension: each program handles QT query positions x G grouped heads
+    (QT*G <= 512 rows bounds the VMEM scratch at ~512*D f32), so ANY chunk
+    length runs fused — the round-1 build fell back to a dequantize-
+    everything jnp path beyond 512 flattened rows. Per-query causal mask:
+    query t attends to positions <= starts[b] + t; s-tiles entirely in a
+    q-tile's causal future are skipped.
     Returns [B, Hq, T, D].
     """
     b, hq, t, d = q.shape
@@ -256,8 +273,14 @@ def int4_prefill_attention(
     st = min(s_tile, s_max)
     while s_max % st != 0:
         st //= 2
-    # layout rows as [G, T] flattened so row r has query index r % T
-    q4 = q.reshape(b, h_kv, g, t, d).reshape(b, h_kv, g * t, d)
+    # Query tiling: QT query positions per program, QT*G rows <= 512.
+    qt = max(1, min(512 // g, t))
+    t_pad = _cdiv(t, qt) * qt
+    # t-major row layout: row r = (query r // G, head r % G)
+    q4 = q.reshape(b, h_kv, g, t, d).transpose(0, 1, 3, 2, 4)
+    if t_pad != t:
+        q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, t_pad - t), (0, 0), (0, 0)))
+    q4 = q4.reshape(b, h_kv, t_pad * g, d)
     lens_starts = jnp.concatenate(
         [cache.lengths, starts.astype(jnp.int32)]
     )
@@ -265,7 +288,12 @@ def int4_prefill_attention(
         q4, lens_starts,
         cache.k_packed, cache.k_scale, cache.k_zp,
         cache.v_packed, cache.v_scale, cache.v_zp,
-        s_tile=st, n_q=t, compute_dtype=compute_dtype, out_dtype=out_dtype,
-        interpret=interpret,
+        s_tile=st, n_q=t_pad, q_tile=qt, compute_dtype=compute_dtype,
+        out_dtype=out_dtype, interpret=interpret,
     )
-    return out.reshape(b, h_kv, g, t, d).reshape(b, hq, t, d)
+    out = out.reshape(b, h_kv, t_pad, g, d).transpose(0, 1, 3, 2, 4)
+    return out.reshape(b, hq, t_pad, d)[:, :, :t]
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)

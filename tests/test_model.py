@@ -314,6 +314,39 @@ class TestFusedPrefillAttention:
             atol=0.03, rtol=0.05,
         )
 
+    def test_prefill_kernel_q_tiled_long_chunk(self, rng):
+        """Chunk with (Hq/Hkv)*T >> 512 flattened rows runs fused via the
+        query-tile grid (round-1 fell back to a dequantize-everything jnp
+        path past 512 rows) — including a ragged final q-tile (t=300 pads
+        to 2x256)."""
+        from fused4bit_tpu.layers.kv_cache import QuantizedKVCache
+        from fused4bit_tpu.ops.decode_attention import int4_prefill_attention
+
+        b, hkv, hq, d, s, t = 1, 2, 4, 64, 512, 300
+        cache = QuantizedKVCache.init(b, hkv, s, d)
+        k = jnp.asarray(rng.standard_normal((b, hkv, t, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, hkv, t, d)), jnp.float32)
+        cache = cache.append(k, v)
+        q = jnp.asarray(rng.standard_normal((b, hq, t, d)), jnp.bfloat16)
+        got = int4_prefill_attention(q, cache, jnp.zeros((b,), jnp.int32))
+        assert got.shape == (b, hq, t, d)
+
+        kd, vd = cache.dequantize(jnp.bfloat16)
+        rep = hq // hkv
+        kd = jnp.repeat(kd, rep, axis=1)
+        vd = jnp.repeat(vd, rep, axis=1)
+        scores = jnp.einsum("bhtd,bhsd->bhts", q, kd) / jnp.sqrt(float(d))
+        span = jnp.arange(s)[None, None, None, :]
+        qpos = jnp.arange(t)[None, None, :, None]
+        mask = (span <= qpos) & (span < cache.lengths[:, None, None, None])
+        scores = jnp.where(mask, scores.astype(jnp.float32), -1e30)
+        probs = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
+        want = jnp.einsum("bhts,bhsd->bhtd", probs, vd)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=0.03, rtol=0.05,
+        )
+
     def test_prefill_kernel_fresh_cache(self, rng):
         """starts=0 (the usual prefill) — strictly causal within the chunk."""
         from fused4bit_tpu.layers.kv_cache import QuantizedKVCache
