@@ -33,8 +33,17 @@ import sys
 import numpy as np
 
 import _bootstrap  # noqa: F401
+
+# The remote compiler on this platform is extremely slow for batched einsums
+# (E=8 bmm: >5 min); the persistent cache makes re-runs and partial-sweep
+# restarts cheap.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+
 import jax
 import jax.numpy as jnp
+
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 from fused4bit_tpu.layers.moe import (
     dispatch,
@@ -171,20 +180,32 @@ def main(argv=None):
         with open(args.out) as f:
             results = json.load(f)
 
+    core = ["bf16-bmm", "int4", "int4-dequant", "w4a8"]
+    modes_at = {32, 2048}  # cells where the mode comparison runs
     for t in args.tokens:
         tile_m = args.tile_m if t * TOPK <= 512 else args.prefill_tile_m
         for dist in args.dists:
             cell_key = f"T{t}_{dist}"
             cell = results.setdefault(cell_key, {})
+            which = args.impls or (
+                core + ["int4-xres", "int4-minner", "int4-ninner",
+                        "int4-ksplit", "pg128"]
+                if (t in modes_at and dist == "uniform") else core
+            )
+            which = [w for w in which if w not in cell]  # resume partial runs
+            if not which:
+                print(f"=== T={t} dist={dist}: cached, skipping ===")
+                continue
             env = build(t, dist, tile_m)
             print(f"\n=== T={t} dist={dist} tile_m={tile_m} "
-                  f"t_pad={env['plan'].t_pad} ===")
-            if args.verify:
+                  f"t_pad={env['plan'].t_pad} ===", flush=True)
+            if args.verify and "verify_rel_err" not in cell:
                 rel = verify_cell(env, tile_m)
                 cell["verify_rel_err"] = rel
                 print(f"  verify int4 vs f32 golden: rel {rel:.5f} "
-                      f"{'OK' if rel < 2e-2 else 'FAIL'}")
-            for name, fn in implementations(env, tile_m, args.impls).items():
+                      f"{'OK' if rel < 2e-2 else 'FAIL'}", flush=True)
+            for name, fn in implementations(env, tile_m, which).items():
+                print(f"  [compile+time] {name} ...", flush=True)
                 try:
                     sec = time_fn_scan(
                         fn, env["xs"], iters=args.iters,
@@ -192,12 +213,12 @@ def main(argv=None):
                     )
                 except Exception as exc:
                     print(f"  [skip] {name}: {type(exc).__name__}: "
-                          f"{str(exc)[:110]}")
+                          f"{str(exc)[:110]}", flush=True)
                     continue
                 cell[name] = round(sec * 1e3, 4)
                 base = cell.get("bf16-bmm")
                 sp = f"  ({base / cell[name]:.2f}x vs bf16)" if base else ""
-                print(f"  {name:<14} {sec * 1e3:9.3f} ms{sp}")
+                print(f"  {name:<14} {sec * 1e3:9.3f} ms{sp}", flush=True)
                 with open(args.out, "w") as f:
                     json.dump(results, f, indent=2)
             del env

@@ -44,7 +44,9 @@ from ..ops.grouped_matmul import grouped_int4_matmul
 from ..ops.int4_matmul import int4_matmul
 from ..quant.core import QuantizedTensor
 
-__all__ = ["moe_ep_replicated", "moe_ep_a2a", "tp_int4_matmul"]
+__all__ = [
+    "moe_ep_replicated", "moe_ep_a2a", "moe_ep_a2a_dropless", "tp_int4_matmul"
+]
 
 
 def _qt_local(qt: QuantizedTensor, packed, scales, zps, num_local: int):
@@ -221,6 +223,182 @@ def moe_ep_a2a(
         per_pair = y_recv[dest_dev, jnp.clip(slot, 0, cap - 1)]
         per_pair = jnp.where(keep[:, None], per_pair, 0.0)
         per_pair = per_pair.reshape(t_loc, top_k, -1)
+        w = routing.expert_weights.astype(per_pair.dtype)[..., None]
+        return jnp.sum(per_pair * w, axis=1)
+
+    specs_in = (
+        P(axis, None), P(axis, None),
+        P(axis, None, None), P(axis, None), P(axis, None),
+    )
+    return shard_map(
+        body, mesh=mesh, in_specs=specs_in, out_specs=P(axis, None),
+        check_vma=False,
+    )(x, router_logits, qt.packed, qt.scales, qt.zero_points)
+
+
+# ---------------------------------------------------------------------------
+# EP strategy 3: DROPLESS all_to_all via the ragged collective
+# ---------------------------------------------------------------------------
+
+
+def _ragged_a2a(operand, output, in_off, send_sizes, out_off, recv_sizes,
+                *, axis, emulate):
+    """`jax.lax.ragged_all_to_all`, with a pure-collective emulation for
+    backends that lack the HLO (XLA:CPU): all_gather everything, then each
+    receiver masks/scatters the chunks addressed to it. Semantically
+    identical; only the native path has ragged ICI traffic."""
+    if not emulate:
+        return jax.lax.ragged_all_to_all(
+            operand, output, in_off, send_sizes, out_off, recv_sizes,
+            axis_name=axis,
+        )
+    me = jax.lax.axis_index(axis)
+    n_dev = jax.lax.axis_size(axis)
+    ops_all = jax.lax.all_gather(operand, axis)        # [D, P, ...]
+    in_all = jax.lax.all_gather(in_off, axis)          # [D, D]
+    send_all = jax.lax.all_gather(send_sizes, axis)    # [D, D]
+    out_all = jax.lax.all_gather(out_off, axis)        # [D, D]
+    p_max = operand.shape[0]
+    r = output.shape[0]
+    res = output
+    for j in range(n_dev):
+        size = send_all[j, me]
+        src = in_all[j, me] + jnp.arange(p_max, dtype=jnp.int32)
+        rows = ops_all[j][jnp.clip(src, 0, p_max - 1)]
+        dst = out_all[j, me] + jnp.arange(p_max, dtype=jnp.int32)
+        dst = jnp.where(jnp.arange(p_max) < size, dst, r)  # OOB -> dropped
+        res = res.at[dst].set(rows, mode="drop")
+    return res
+
+
+def moe_ep_a2a_dropless(
+    x: jnp.ndarray,             # [T, H], sharded over the expert axis (dim 0)
+    router_logits: jnp.ndarray,  # [T, E], sharded likewise
+    qt: QuantizedTensor,        # stacked [E, N, K], sharded over axis 0
+    mesh: Mesh,
+    *,
+    top_k: int,
+    axis: str = "expert",
+    recv_rows: Optional[int] = None,
+    tile_m: int = 16,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Dropless EP MoE: sort-by-destination + ragged all_to_all exchange.
+
+    The round-1 capacity path (:func:`moe_ep_a2a`) drops pairs beyond a
+    static per-destination capacity; this strategy never drops. Per device:
+
+      1. route local tokens, stable-sort the (token, k) pairs by destination
+         device (expert // E_local) — contiguous per-destination chunks;
+      2. all_gather the [D] per-destination count vector (D*D i32 — noise)
+         and derive the ragged exchange offsets;
+      3. `jax.lax.ragged_all_to_all` the token rows AND their local expert
+         ids over ICI — the collective moves only the REAL rows; the recv
+         buffer is a static worst case (see below) but padding rows are
+         never transmitted;
+      4. local sort-by-expert -> grouped INT4 kernel -> un-sort;
+      5. ragged all_to_all the results straight back into the sender's
+         sorted pair order (exact [T*k, N] buffer, no padding), un-sort,
+         weighted-combine.
+
+    ICI-bytes accounting (per device, H = hidden, N = out dim, P = T*top_k
+    local pairs): forward moves exactly `sum(real pairs sent) * (H + 4)`
+    bytes and the return `P * N` bytes — both scale with the ACTUAL routed
+    load, unlike the capacity path whose static buffers always move
+    `D * C * H`. The only worst-case cost is recv-buffer HBM and grouped-GEMM
+    grid size: `recv_rows` defaults to the dropless bound P * D (every
+    global pair routed to one device); pass a smaller bound when the router
+    is load-balanced and you can tolerate that bound being a hard guarantee
+    you provide (rows beyond it would corrupt the exchange).
+
+    Returns [T, N] sharded like x.
+    """
+    e = qt.shape[0]
+    n_dev = mesh.shape[axis]
+    e_local = e // n_dev
+    if e_local * n_dev != e:
+        raise ValueError(f"num_experts={e} not divisible by mesh axis {n_dev}")
+    # ragged-all-to-all HLO exists only on TPU; elsewhere run the
+    # semantically identical all_gather emulation (tests, CPU meshes)
+    emulate = jax.default_backend() not in ("tpu", "axon")
+
+    def body(xb, logits, packed, scales, zps):
+        t_loc, h = xb.shape
+        pairs = t_loc * top_k
+        me = jax.lax.axis_index(axis)
+
+        routing = topk_route(logits, top_k, e)
+        flat_ids = routing.expert_indices.reshape(-1)          # [P]
+        dest = (flat_ids // e_local).astype(jnp.int32)
+
+        sort_idx = jnp.argsort(dest, stable=True)              # sorted by dest
+        inv = jnp.zeros((pairs,), jnp.int32).at[sort_idx].set(
+            jnp.arange(pairs, dtype=jnp.int32)
+        )
+        xrep = jnp.repeat(xb, top_k, axis=0)
+        x_send = xrep[sort_idx]                                # [P, H]
+        eid_send = (flat_ids % e_local).astype(jnp.int32)[sort_idx][:, None]
+
+        counts = jnp.bincount(dest, length=n_dev).astype(jnp.int32)  # [D]
+        excl = lambda c: jnp.concatenate(  # noqa: E731
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(c)[:-1]]
+        ).astype(jnp.int32)
+        in_off = excl(counts)
+        # counts_all[j, i] = rows device j sends to device i
+        counts_all = jax.lax.all_gather(counts, axis)          # [D, D]
+        # my chunk lands on receiver i after all senders j < me
+        out_off = jnp.cumsum(
+            jnp.where(jnp.arange(n_dev)[:, None] < me, counts_all, 0), axis=0
+        )[-1].astype(jnp.int32)                                # [D]
+        recv_sizes = counts_all[:, me].astype(jnp.int32)       # [D]
+
+        r = recv_rows or pairs * n_dev
+        recv_x = _ragged_a2a(
+            x_send, jnp.zeros((r, h), x_send.dtype),
+            in_off, counts, out_off, recv_sizes, axis=axis, emulate=emulate,
+        )
+        recv_eid = _ragged_a2a(
+            eid_send, jnp.full((r, 1), -1, jnp.int32),
+            in_off, counts, out_off, recv_sizes, axis=axis, emulate=emulate,
+        )[:, 0]
+
+        # local grouped GEMM over my experts (same synthetic top-1 routing
+        # device as the capacity path)
+        valid = recv_eid >= 0
+        eid = jnp.where(valid, recv_eid, 0)
+        tpe = jnp.bincount(eid, length=e_local).astype(jnp.int32)
+        # invalid rows are all zeros; they route to expert 0 and are sliced
+        # off by the return exchange (only real rows are sent back)
+        rt = RoutingResult(
+            expert_indices=eid[:, None],
+            expert_weights=jnp.ones((r, 1), jnp.float32),
+            tokens_per_expert=tpe,
+            expert_token_offsets=jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(tpe)]
+            ).astype(jnp.int32),
+        )
+        plan = make_dispatch_plan(rt, e_local, tile_m=tile_m)
+        xs = dispatch(jnp.where(valid[:, None], recv_x, 0.0), rt, plan)
+        qt_loc = _qt_local(qt, packed, scales, zps, e_local)
+        y = grouped_int4_matmul(
+            xs, plan.tile_group_ids, qt_loc, tile_m=tile_m, interpret=interpret
+        )
+        y_rows = y[plan.rows]                                  # recv order
+
+        # return trip: my buffer is chunked by ORIGINAL sender (offsets =
+        # exclusive cumsum of recv_sizes); each chunk goes back to its
+        # sender and must land at that sender's in_off for me —
+        # in_off_all[i, me] = sum_{d < me} counts_all[i, d].
+        ret_in_off = excl(recv_sizes)
+        in_off_all = jnp.cumsum(
+            jnp.where(jnp.arange(n_dev)[None, :] < me, counts_all, 0), axis=1
+        )[:, -1].astype(jnp.int32)                             # [D]
+        y_back = _ragged_a2a(
+            y_rows, jnp.zeros((pairs, y_rows.shape[1]), y_rows.dtype),
+            ret_in_off, recv_sizes, in_off_all, counts, axis=axis,
+            emulate=emulate,
+        )
+        per_pair = y_back[inv].reshape(t_loc, top_k, -1)
         w = routing.expert_weights.astype(per_pair.dtype)[..., None]
         return jnp.sum(per_pair * w, axis=1)
 

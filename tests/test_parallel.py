@@ -115,6 +115,49 @@ class TestExpertParallel:
         assert got.shape == (self.T, self.N)
         assert not bool(jnp.any(jnp.isnan(got)))
 
+    def test_ep_a2a_dropless_matches_golden(self, rng):
+        from fused4bit_tpu.parallel.expert_parallel import moe_ep_a2a_dropless
+
+        qt, x, logits, golden = self._setup(rng)
+        mesh = make_mesh(("expert",), (8,))
+        qts = shard_qt_experts(qt, mesh, "expert")
+        got = moe_ep_a2a_dropless(
+            x, logits, qts, mesh, top_k=self.TOPK, tile_m=8, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(golden), atol=1e-3)
+
+    def test_ep_a2a_dropless_skewed_where_capacity_drops(self, rng):
+        """All tokens routed to experts on one device — the capacity path
+        PROVABLY drops here (capacity < skewed load), the ragged path must
+        still match the dense golden exactly (round-1 verdict item 4)."""
+        from fused4bit_tpu.parallel.expert_parallel import moe_ep_a2a_dropless
+
+        w = randw(rng, self.E, self.N, self.K)
+        qt = quantize(w, layout="planar")
+        t = 128  # 16 tokens/device: capacity 2x mean = 8 slots < 32 pairs
+        x = randw(rng, t, self.K)
+        # every token picks experts 0 and 1 — maximal skew onto two devices
+        logits = jnp.zeros((t, self.E)).at[:, 0].set(50.0).at[:, 1].set(49.0)
+        routing = topk_route(logits, self.TOPK, self.E)
+        golden = QuantizedMoE(weight=qt)(x, routing)
+        mesh = make_mesh(("expert",), (8,))
+        qts = shard_qt_experts(qt, mesh, "expert")
+
+        # capacity path at factor 2 drops: mean load per dest = T*k/D, but
+        # dest 0 gets T pairs (> 2*T*k/D for D=8, k=2)
+        dropped = moe_ep_a2a(
+            x, logits, qts, mesh, top_k=self.TOPK,
+            capacity_factor=2.0, tile_m=8, interpret=True,
+        )
+        assert float(jnp.max(jnp.abs(
+            dropped.astype(jnp.float32) - golden.astype(jnp.float32)
+        ))) > 1e-2, "expected the capacity path to drop under this skew"
+
+        got = moe_ep_a2a_dropless(
+            x, logits, qts, mesh, top_k=self.TOPK, tile_m=8, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(golden), atol=1e-3)
+
 
 class TestShardedModel:
     def test_sharded_decode_matches_single_device(self, rng):
