@@ -9,13 +9,20 @@ reports latency / weight memory / roofline (bytes, FLOPs, arithmetic
 intensity, achieved GB/s — `run_benchmark.py:205-242`).
 
 Usage: python benchmark/run_benchmark.py [--batch 8] [--iters 100] [--quick]
+       python benchmark/run_benchmark.py --sweep-batch 1 8 32 128 256 \
+           --json benchmark/results/linear_batch_sweep.json
 """
 import argparse
+import json
+import os
 import sys
 
 import numpy as np
 
 import _bootstrap  # noqa: F401  (repo-root import shim)
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+
 import jax
 import jax.numpy as jnp
 
@@ -70,12 +77,48 @@ def main(argv=None):
         "--measured-bw", type=float, default=None,
         help="empirical HBM GB/s to use as the roofline denominator",
     )
+    p.add_argument(
+        "--sweep-batch", type=int, nargs="*", default=None,
+        help="batch sweep (BASELINE configs[1]: 1-256) on the flagship "
+             "4096->11008 shape; writes per-batch dense/int4 ms + achieved "
+             "GB/s to --json",
+    )
+    p.add_argument("--json", default=None, help="write results JSON here")
     args = p.parse_args(argv)
 
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
-    shapes = SHAPES[-1:] if args.quick else SHAPES
-    for in_dim, out_dim in shapes:
-        bench_shape(in_dim, out_dim, args.batch, args.iters, args.measured_bw)
+    out = {}
+    if args.sweep_batch:
+        in_dim, out_dim = SHAPES[-1]
+        for b in args.sweep_batch:
+            t_dense, t_int4 = bench_shape(
+                in_dim, out_dim, b, args.iters, args.measured_bw
+            )
+            int4_bytes = in_dim * b * 2 + out_dim * in_dim // 2 + out_dim * 8
+            dense_bytes = in_dim * b * 2 + out_dim * in_dim * 2
+            out[f"batch{b}"] = {
+                "bf16_ms": round(t_dense * 1e3, 4),
+                "int4_ms": round(t_int4 * 1e3, 4),
+                "speedup": round(t_dense / t_int4, 3),
+                "int4_achieved_gbps": round(int4_bytes / t_int4 / 1e9, 1),
+                "bf16_achieved_gbps": round(dense_bytes / t_dense / 1e9, 1),
+            }
+            if args.json:
+                with open(args.json, "w") as f:
+                    json.dump(out, f, indent=2)
+    else:
+        shapes = SHAPES[-1:] if args.quick else SHAPES
+        for in_dim, out_dim in shapes:
+            t_dense, t_int4 = bench_shape(
+                in_dim, out_dim, args.batch, args.iters, args.measured_bw
+            )
+            out[f"{in_dim}x{out_dim}_b{args.batch}"] = {
+                "bf16_ms": round(t_dense * 1e3, 4),
+                "int4_ms": round(t_int4 * 1e3, 4),
+            }
+        if args.json:
+            with open(args.json, "w") as f:
+                json.dump(out, f, indent=2)
     return 0
 
 

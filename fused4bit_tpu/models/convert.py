@@ -36,7 +36,7 @@ from ..quant.core import QuantizedTensor
 from .config import ModelConfig
 from .transformer import Attention, MoEBlock, QuantizedTransformer, TransformerBlock
 
-__all__ = ["quantize_dense_2d", "convert_checkpoint"]
+__all__ = ["quantize_dense_2d", "convert_checkpoint", "convert_safetensors"]
 
 
 def quantize_dense_2d(w: np.ndarray) -> QuantizedTensor:
@@ -79,6 +79,16 @@ def _stack_experts(get: Callable[[int], np.ndarray], num: int) -> QuantizedTenso
         layout="planar",
         block_k=shape[1],
     )
+
+
+def convert_safetensors(
+    path: str, cfg: ModelConfig, dtype=jnp.bfloat16
+) -> QuantizedTransformer:
+    """Load a .safetensors checkpoint (native reader, models/safetensors_io)
+    and quantize it into an INT4 model."""
+    from .safetensors_io import load_safetensors
+
+    return convert_checkpoint(load_safetensors(path), cfg, dtype=dtype)
 
 
 def convert_checkpoint(

@@ -125,3 +125,97 @@ class TestEndToEnd:
                              prefill_bucket=8, mesh=mesh, interpret=True)
         eng3.submit(GenerationRequest(uid=0, prompt=[1, 2, 3], max_new_tokens=1))
         assert eng3.run()[0][0] == first_single
+
+
+class TestSafetensorsIO:
+    """Native reader/writer vs the reference `safetensors` package."""
+
+    def test_roundtrip_all_dtypes(self, rng, tmp_path):
+        from fused4bit_tpu.models.safetensors_io import (
+            load_safetensors, save_safetensors,
+        )
+
+        tensors = {
+            "a": rng.standard_normal((4, 8)).astype(np.float32),
+            "b": (rng.standard_normal((3, 5)) * 10).astype(np.float16),
+            "c": rng.integers(0, 255, (2, 7)).astype(np.uint8),
+            "d": rng.integers(-9, 9, (6,)).astype(np.int32),
+        }
+        p = str(tmp_path / "t.safetensors")
+        save_safetensors(p, tensors, metadata={"k": "v"})
+        back = load_safetensors(p)
+        assert set(back) == set(tensors)
+        for k in tensors:
+            np.testing.assert_array_equal(back[k], tensors[k])
+
+    def test_cross_validated_against_reference_lib(self, rng, tmp_path):
+        st = pytest.importorskip("safetensors.numpy")
+        from fused4bit_tpu.models.safetensors_io import (
+            load_safetensors, save_safetensors,
+        )
+
+        tensors = {"w": rng.standard_normal((16, 32)).astype(np.float32),
+                   "s": rng.standard_normal((16,)).astype(np.float32)}
+        ours = str(tmp_path / "ours.safetensors")
+        save_safetensors(ours, tensors)
+        # the reference lib must read our file bit-exactly
+        theirs_read = st.load_file(ours)
+        for k in tensors:
+            np.testing.assert_array_equal(theirs_read[k], tensors[k])
+        # and we must read the reference lib's file bit-exactly
+        theirs = str(tmp_path / "theirs.safetensors")
+        st.save_file(tensors, theirs)
+        back = load_safetensors(theirs)
+        for k in tensors:
+            np.testing.assert_array_equal(back[k], tensors[k])
+
+    def test_bf16_upcast(self, tmp_path):
+        st = pytest.importorskip("safetensors.numpy")
+        import jax
+        from fused4bit_tpu.models.safetensors_io import load_safetensors
+
+        vals = jnp.asarray([[1.5, -2.25, 3.0, 0.0078125] * 32], jnp.bfloat16)
+        import ml_dtypes
+        arr = np.asarray(vals).view(np.uint16)
+        p = str(tmp_path / "bf.safetensors")
+        # craft a BF16 file via the reference lib's bf16 support
+        st.save_file({"x": np.asarray(vals)}, p)
+        back = load_safetensors(p)
+        np.testing.assert_array_equal(
+            back["x"], np.asarray(vals, np.float32)
+        )
+
+
+class TestTrainedFixture:
+    """Quality gates on genuinely trained weights (scripts/train_tiny.py)."""
+
+    @pytest.fixture(scope="class")
+    def fixture_path(self):
+        import os
+        p = os.path.join(os.path.dirname(__file__), "fixtures",
+                         "tiny_trained.safetensors")
+        if not os.path.exists(p):
+            pytest.skip("trained fixture missing (run scripts/train_tiny.py)")
+        return p
+
+    def test_trained_model_beats_uniform_and_int4_tracks_bf16(self, fixture_path):
+        import json
+        import subprocess
+        import sys as _sys
+        import os
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        r = subprocess.run(
+            [_sys.executable, os.path.join(repo, "benchmark", "run_quality_eval.py")],
+            capture_output=True, text=True, timeout=1200,
+        )
+        assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+        res = json.load(open(os.path.join(
+            repo, "benchmark", "results", "quality_trained.json")))
+        # trained model is a real LM: far below uniform-random NLL
+        assert res["heldout_nll_bf16"] < 0.7 * res["uniform_random_nll"]
+        # INT4 quality tracks bf16 on trained weights through the real
+        # convert pipeline (reference ladder upgraded: cos>0.95 on randoms
+        # -> cos>0.98 + top-1>0.9 on trained weights)
+        assert res["logit_cosine_sim"] > 0.98
+        assert res["top1_agreement"] > 0.90
+        assert res["nll_delta"] < 0.05

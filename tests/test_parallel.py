@@ -218,3 +218,21 @@ class TestShardedModel:
         )
         assert lg2.shape == (b, 1, cfg.vocab_size)
         assert int(caches[0].lengths[0]) == 2
+
+
+class TestMeshShapes:
+    def test_prime_and_odd_counts(self):
+        # primes factor as (1, n) — valid, just degenerate
+        assert best_mesh_shape(7) == (1, 7)
+        assert best_mesh_shape(13) == (1, 13)
+        assert best_mesh_shape(12) == (3, 4)
+        assert best_mesh_shape(64) == (8, 8)
+        assert best_mesh_shape(24, num_axes=3) == (4, 2, 3)
+        for n in (2, 3, 4, 6, 7, 8, 12, 16, 24, 32, 64, 128, 256):
+            for ax in (1, 2, 3):
+                shape = best_mesh_shape(n, ax)
+                assert len(shape) == ax
+                prod = 1
+                for s in shape:
+                    prod *= s
+                assert prod == n, (n, ax, shape)
