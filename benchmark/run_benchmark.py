@@ -41,11 +41,14 @@ def bench_shape(in_dim, out_dim, batch, iters, measured_bw=None):
     qt = quantize(w)
     x = jnp.asarray(rng.standard_normal((batch, in_dim)), dtype=jnp.bfloat16)
 
-    dense = jax.jit(lambda v: v @ wb.T)
-    kern = jax.jit(lambda v: int4_matmul(v, qt))
-
-    t_dense = time_fn_scan(dense, x, iters=iters, repeats=3)
-    t_int4 = time_fn_scan(kern, x, iters=iters, repeats=3)
+    # weights as consts (jit args), not closures: closure constants ship in
+    # the remote compile request on this platform (see utils/benchmark.py)
+    t_dense = time_fn_scan(
+        lambda v, w: v @ w.T, x, consts=(wb,), iters=iters, repeats=3
+    )
+    t_int4 = time_fn_scan(
+        lambda v, q: int4_matmul(v, q), x, consts=(qt,), iters=iters, repeats=3
+    )
 
     dense_bytes = out_dim * in_dim * 2
     print(f"\n=== {in_dim} -> {out_dim}, batch={batch} ===")

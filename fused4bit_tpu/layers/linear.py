@@ -36,6 +36,10 @@ class QuantizedLinear:
     bias: Optional[jnp.ndarray] = None
     use_kernel: bool = dataclasses.field(metadata=dict(static=True), default=True)
     activation: str = dataclasses.field(metadata=dict(static=True), default="bf16")
+    # Optional int8-resident copy of the same int4 weights for the XLA-turbo
+    # execution mode (activation="int8_xla"): 2x packed size, streamed by
+    # XLA's matmul emitter — see ops/int8_xla.py for when this wins.
+    w8: Optional[object] = None
 
     # -- construction -------------------------------------------------------
 
@@ -86,8 +90,25 @@ class QuantizedLinear:
 
     # -- forward -------------------------------------------------------------
 
+    def as_xla_turbo(self) -> "QuantizedLinear":
+        """Attach the i8-resident weight copy and switch to the XLA int8
+        path. The packed u4 copy stays as the source of truth (checkpoints,
+        metadata); serving memory is dominated by the i8 copy (~2x packed)."""
+        from ..ops.int8_xla import to_int8_resident
+
+        return dataclasses.replace(
+            self, w8=to_int8_resident(self.weight), activation="int8_xla"
+        )
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         w = self.weight
+        if self.activation == "int8_xla" and self.w8 is not None:
+            from ..ops.int8_xla import int8_linear
+
+            y = int8_linear(x, self.w8)
+            if self.bias is not None:
+                y = y + self.bias.astype(y.dtype)
+            return y
         if (
             self.use_kernel
             and self.activation == "int8"

@@ -277,6 +277,9 @@ class MoEINT4:
     weight: QuantizedTensor  # [E, N, K]
     use_kernel: bool = dataclasses.field(metadata=dict(static=True), default=True)
     activation: str = dataclasses.field(metadata=dict(static=True), default="bf16")
+    # Optional i8-resident copy for the XLA-turbo capacity path (see
+    # ops/int8_xla.py); populated by MoEBlock/as_xla_turbo conversion.
+    w8: "object" = None
 
     @classmethod
     def from_dense(

@@ -30,7 +30,10 @@ from ..layers.moe import (
 )
 from .config import ModelConfig
 
-__all__ = ["QuantizedTransformer", "TransformerBlock", "MoEBlock", "Attention", "as_turbo"]
+__all__ = [
+    "QuantizedTransformer", "TransformerBlock", "MoEBlock", "Attention",
+    "as_turbo", "as_xla_turbo",
+]
 
 
 # ---------------------------------------------------------------------------
@@ -192,6 +195,12 @@ class MoEBlock:
     capacity_factor: float = dataclasses.field(
         metadata=dict(static=True), default=2.0
     )
+    # "kernel" (default): dropless tile-packed dispatch through the grouped
+    # Pallas kernels. "xla_turbo": capacity layout + int8-resident batched
+    # XLA dots (ops/int8_xla.py) — for platforms where XLA matmuls stream
+    # faster than Pallas DMA; Switch-style capacity drop semantics at
+    # capacity_factor x mean load.
+    moe_impl: str = dataclasses.field(metadata=dict(static=True), default="kernel")
 
     @classmethod
     def init(cls, key, num_experts, hidden, ffn, top_k, tile_m=16):
@@ -211,6 +220,8 @@ class MoEBlock:
         b, t, h = x.shape
         xf = x.reshape(b * t, h)
         routing = topk_route(self.router(xf), self.top_k, self.num_experts)
+        if self.moe_impl == "xla_turbo":
+            return self._xla_turbo_forward(xf, routing).reshape(b, t, h)
         if b * t > self.prefill_threshold:
             if self.prefill_impl == "einsum":
                 return self._prefill_forward(xf, routing).reshape(b, t, h)
@@ -231,6 +242,28 @@ class MoEBlock:
         )
         d = self.w_down(hsw, plan.tile_group_ids, tile_m=tile_m)
         return combine(d, routing, plan)
+
+    def _xla_turbo_forward(self, xf: jnp.ndarray, routing) -> jnp.ndarray:
+        """Capacity layout + int8-resident batched XLA dots (all regimes)."""
+        from ..layers.moe import make_capacity_plan
+        from ..ops.int8_xla import int8_grouped_capacity
+
+        tk = xf.shape[0] * self.top_k
+        cf = self.capacity_factor
+        cap = int(-(-cf * tk // self.num_experts // self.tile_m)) * self.tile_m
+        plan = make_capacity_plan(
+            routing, self.num_experts, capacity=cap, tile_m=self.tile_m
+        )
+        xs = dispatch(xf, routing, plan)  # [E*C, H]
+        e, c = self.num_experts, cap
+        xe = xs.reshape(e, c, -1)
+        g = int8_grouped_capacity(xe, self.w_gate.w8)
+        u = int8_grouped_capacity(xe, self.w_up.w8)
+        hsw = (
+            jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)
+        ).astype(xs.dtype)
+        d = int8_grouped_capacity(hsw, self.w_down.w8)
+        return combine(d.reshape(e * c, -1), routing, plan)
 
     def _prefill_forward(self, xf: jnp.ndarray, routing) -> jnp.ndarray:
         """Capacity-einsum prefill (prefill_impl="einsum"): capacity layout +
@@ -355,6 +388,41 @@ class QuantizedTransformer:
         return sum(
             a.size * a.dtype.itemsize for a in jax.tree_util.tree_leaves(self)
         )
+
+
+def as_xla_turbo(model: "QuantizedTransformer") -> "QuantizedTransformer":
+    """Switch a model to the int8-resident XLA execution mode.
+
+    Every QuantizedLinear gains an i8 weight copy + the int8_xla activation
+    path, and every MoE block switches to the capacity-layout batched int8
+    dots (`moe_impl="xla_turbo"`). Use on platforms where XLA matmuls stream
+    weights faster than Pallas DMA pipelines (see ops/int8_xla.py); weight
+    memory is 2x the packed-u4 form, quality identical to w4a8.
+    """
+    from ..ops.int8_xla import to_int8_resident
+
+    def conv_moe(m: MoEINT4) -> MoEINT4:
+        return dataclasses.replace(m, w8=to_int8_resident(m.weight))
+
+    blocks = []
+    for blk in model.blocks:
+        attn = dataclasses.replace(
+            blk.attn,
+            wq=blk.attn.wq.as_xla_turbo(), wk=blk.attn.wk.as_xla_turbo(),
+            wv=blk.attn.wv.as_xla_turbo(), wo=blk.attn.wo.as_xla_turbo(),
+        )
+        moe = dataclasses.replace(
+            blk.moe,
+            router=blk.moe.router.as_xla_turbo(),
+            w_gate=conv_moe(blk.moe.w_gate),
+            w_up=conv_moe(blk.moe.w_up),
+            w_down=conv_moe(blk.moe.w_down),
+            moe_impl="xla_turbo",
+        )
+        blocks.append(dataclasses.replace(blk, attn=attn, moe=moe))
+    return dataclasses.replace(
+        model, blocks=tuple(blocks), lm_head=model.lm_head.as_xla_turbo()
+    )
 
 
 def as_turbo(model: "QuantizedTransformer") -> "QuantizedTransformer":

@@ -54,9 +54,10 @@ def time_fn(fn: Callable[[], jax.Array], *, warmup: int = 5, iters: int = 50) ->
 
 
 def time_fn_scan(
-    fn: Callable[[jax.Array], jax.Array],
+    fn: Callable[..., jax.Array],
     x: jax.Array,
     *,
+    consts=(),
     iters: int = 50,
     warmup: int = 2,
     repeats: int = 5,
@@ -67,15 +68,21 @@ def time_fn_scan(
     scalar derived from the previous output) so XLA cannot elide or overlap
     them away, then divides total wall time of the single dispatch by
     ``iters``.
+
+    ``consts``: extra pytrees passed through the jit boundary to
+    ``fn(x, *consts)``. Pass big weight arrays HERE rather than closing over
+    them — a jit-captured device array is lowered as a literal HLO constant,
+    which on remote-compile platforms ships the whole tensor in the compile
+    request (a 940 MB bf16 weight = HTTP 413 and minutes-long uploads).
     """
 
     @jax.jit
-    def loop(x0):
+    def loop(x0, *cs):
         def body(carry, _):
             # Real (but numerically negligible) data dependence: XLA cannot
             # hoist fn out of the loop or fold the carry away, unlike a `*0`
             # dependence which constant-folds.
-            y = fn(x0 + carry)
+            y = fn(x0 + carry, *cs)
             dep = jnp.real(jnp.ravel(y)[0]).astype(x0.dtype) * jnp.asarray(
                 1e-30, x0.dtype
             )
@@ -85,11 +92,11 @@ def time_fn_scan(
         return c
 
     for _ in range(warmup):
-        loop(x).block_until_ready()
+        loop(x, *consts).block_until_ready()
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        loop(x).block_until_ready()
+        loop(x, *consts).block_until_ready()
         best = min(best, time.perf_counter() - t0)
     return best / iters
 

@@ -48,7 +48,7 @@ TINY_TRAINED = ModelConfig(
     max_seq_len=256,
 )
 
-SEQ, BATCH, STEPS, LR = 128, 32, 1500, 3e-3
+SEQ, BATCH, STEPS, LR = 128, 16, 1200, 3e-3
 
 
 def load_corpus() -> np.ndarray:
@@ -90,7 +90,10 @@ def main():
     print(f"corpus: {len(corpus)} bytes ({split} train / {len(held)} held out)")
 
     seed_model = QuantizedTransformer.init(jax.random.PRNGKey(0), cfg)
-    dense = dense_from_quantized(seed_model, dtype=jnp.float32)
+    # dense_all: streamed-einsum MoE — the gather impl materializes
+    # [T*k, ffn, H] weight copies per step and trains ~30x slower on CPU
+    dense = dense_from_quantized(seed_model, dtype=jnp.float32,
+                                 moe_impl="dense_all")
 
     def loss_fn(model, tokens):
         b, t = tokens.shape
