@@ -33,8 +33,11 @@ def main():
     from fused4bit_tpu.models.dense_baseline import dense_from_quantized
     from fused4bit_tpu.models.transformer import QuantizedTransformer
 
+    from fused4bit_tpu.models.transformer import as_xla_turbo
+
     cfg = flagship_model_config("small")  # 4L, h=1024, 8 experts, ffn=3584
     model = QuantizedTransformer.init(jax.random.PRNGKey(0), cfg)
+    turbo = as_xla_turbo(model)       # int8-resident XLA mode (ops/int8_xla)
     dense = dense_from_quantized(model)                     # naive gather MoE
     strong = dense_from_quantized(model, moe_impl="dense_all")  # streamed MoE
     b, steps = 8, 24
@@ -61,14 +64,18 @@ def main():
             ts.append((time.perf_counter() - t0) / steps)
         return sorted(ts)[len(ts) // 2]
 
-    t_int4 = bench(model, model.init_cache(cfg, b, 256))
+    t_kernel = bench(model, model.init_cache(cfg, b, 256))
+    t_turbo = bench(turbo, turbo.init_cache(cfg, b, 256))
     t_naive = bench(dense, dense.init_cache(cfg, b, 256))
     t_strong = bench(strong, strong.init_cache(cfg, b, 256))
 
-    # vs_baseline is the STRONG dense twin (each expert's weights streamed
-    # once per step — the memory-bound optimum for a bf16 XLA baseline);
-    # vs_naive_dense mirrors the reference's naive-FP16 comparison philosophy
-    # (README.md:24-34) and is reported alongside for parity.
+    # The INT4 model's headline config is whichever int4 execution mode wins
+    # on this platform (packed-u4 Pallas kernels vs int8-resident XLA —
+    # ops/int8_xla.py documents the platform trade). vs_baseline is the
+    # STRONG dense twin (each expert's weights streamed exactly once per
+    # step); vs_naive_dense mirrors the reference's naive-FP16 comparison
+    # philosophy (README.md:24-34) and is reported alongside for parity.
+    t_int4 = min(t_kernel, t_turbo)
     print(json.dumps({
         "metric": "int4_model_decode_ms_per_step_mixtral_small_b8",
         "value": round(t_int4 * 1e3, 3),
@@ -76,6 +83,10 @@ def main():
         "vs_baseline": round(t_strong / t_int4, 3),
         "vs_strong_dense": round(t_strong / t_int4, 3),
         "vs_naive_dense": round(t_naive / t_int4, 3),
+        "int4_kernel_ms": round(t_kernel * 1e3, 3),
+        "int4_xla_turbo_ms": round(t_turbo * 1e3, 3),
+        "bf16_strong_ms": round(t_strong * 1e3, 3),
+        "bf16_naive_ms": round(t_naive * 1e3, 3),
     }))
 
 

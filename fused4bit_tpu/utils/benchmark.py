@@ -80,25 +80,51 @@ def time_fn_scan(
     def loop(x0, *cs):
         def body(carry, _):
             # Real (but numerically negligible) data dependence: XLA cannot
-            # hoist fn out of the loop or fold the carry away, unlike a `*0`
-            # dependence which constant-folds.
+            # hoist fn out of the loop or fold the carry away. The multiplier
+            # MUST be representable (nonzero) in the carrier dtype: 1e-30
+            # rounds to exactly 0 in bf16 at trace time, and a *0 dependence
+            # lets XLA fold integer compute chains to nothing (floats survive
+            # only because x*0 isn't foldable under possible NaNs).
             y = fn(x0 + carry, *cs)
-            dep = jnp.real(jnp.ravel(y)[0]).astype(x0.dtype) * jnp.asarray(
-                1e-30, x0.dtype
-            )
+            # The dependence must cover the WHOLE output NON-LINEARLY:
+            # depending on a single element lets XLA strength-reduce a dot to
+            # the one row/column that element needs, and a plain sum(dot)
+            # rewrites to dot-of-sums (both observed: a 470 MB matmul
+            # "measured" at 0.003 ms). abs() blocks the algebraic rewrite;
+            # the reduction's cost (one pass over the output) is part of any
+            # honest number anyway.
+            y0 = jnp.sum(jnp.abs(jnp.real(y)))
+            if jnp.issubdtype(jnp.result_type(x0), jnp.integer):
+                # integer carrier: parity (0/1) — any float epsilon would
+                # round to 0 in the cast and re-open the fold
+                dep = (y0.astype(jnp.int32) % 2).astype(x0.dtype)
+            else:
+                dep = (jnp.tanh(y0) * jnp.asarray(1e-6, jnp.float32)).astype(
+                    x0.dtype
+                )
             return dep, None
 
         c, _ = jax.lax.scan(body, jnp.zeros((), x0.dtype), None, length=iters)
         return c
 
+    import numpy as _np
+
+    # Warmup ends in a HOST FETCH, draining any queued work:
+    # block_until_ready can return before execution completes for XLA-only
+    # programs on this backend (observed: 0.1 ms "wait" hiding 129 s of
+    # queued compute); fetching the tiny carry scalar is a true barrier.
     for _ in range(warmup):
-        loop(x, *consts).block_until_ready()
-    best = float("inf")
-    for _ in range(repeats):
+        _np.asarray(loop(x, *consts))
+    times = []
+    for r in range(repeats):
+        # fresh input per repeat — identical repeated requests can be served
+        # anomalously fast on shared/virtualized backends
+        xr = x + jnp.asarray(1 + (r % 2), x.dtype)
         t0 = time.perf_counter()
-        loop(x, *consts).block_until_ready()
-        best = min(best, time.perf_counter() - t0)
-    return best / iters
+        _np.asarray(loop(xr, *consts))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2] / iters
 
 
 def print_table(results: List[BenchmarkResult], baseline: Optional[str] = None) -> str:

@@ -115,6 +115,7 @@ class TestExpertParallel:
         assert got.shape == (self.T, self.N)
         assert not bool(jnp.any(jnp.isnan(got)))
 
+    @pytest.mark.slow  # 3-6 min in CPU interpret mode
     def test_ep_a2a_dropless_matches_golden(self, rng):
         from fused4bit_tpu.parallel.expert_parallel import moe_ep_a2a_dropless
 
@@ -126,6 +127,7 @@ class TestExpertParallel:
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(golden), atol=1e-3)
 
+    @pytest.mark.slow  # 3-6 min in CPU interpret mode
     def test_ep_a2a_dropless_skewed_where_capacity_drops(self, rng):
         """All tokens routed to experts on one device — the capacity path
         PROVABLY drops here (capacity < skewed load), the ragged path must
@@ -160,6 +162,7 @@ class TestExpertParallel:
 
 
 class TestShardedModel:
+    @pytest.mark.slow  # 3-6 min in CPU interpret mode
     def test_sharded_decode_matches_single_device(self, rng):
         import jax.numpy as jnp
         from fused4bit_tpu.models.config import flagship_model_config
@@ -194,6 +197,7 @@ class TestShardedModel:
         )
         assert int(new_caches[0].lengths[0]) == t
 
+    @pytest.mark.slow  # 3-6 min in CPU interpret mode
     def test_sharded_decode_two_steps(self, rng):
         import jax.numpy as jnp
         from fused4bit_tpu.models.config import flagship_model_config

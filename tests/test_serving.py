@@ -159,6 +159,24 @@ class TestEngine:
         out = eng.run()
         assert out[0] == [42, 42, 42]
 
+    def test_engine_runs_xla_turbo_model(self, setup):
+        """The int8-resident execution mode serves end to end: first token
+        agrees with the standard kernel model (same int4 weights)."""
+        from fused4bit_tpu.models.transformer import as_xla_turbo
+
+        cfg, model = setup
+        prompt = [3, 5, 7, 9]
+        eng = make_engine(cfg, model)
+        eng.submit(GenerationRequest(uid=0, prompt=prompt, max_new_tokens=2))
+        base = eng.run()[0]
+        eng2 = make_engine(cfg, as_xla_turbo(model))
+        eng2.submit(GenerationRequest(uid=0, prompt=prompt, max_new_tokens=2))
+        out = eng2.run()[0]
+        assert len(out) == 2
+        # int8 activation quant can flip near-ties on random weights; demand
+        # agreement on the first token only (deterministic greedy)
+        assert out[0] == base[0]
+
     def test_overlong_prompt_raises(self, setup):
         cfg, model = setup
         eng = make_engine(cfg, model, max_seq=16, prefill_bucket=8)
