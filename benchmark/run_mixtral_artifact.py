@@ -148,6 +148,17 @@ def implementations(env, tile_m, which):
         "eck,enk->ecn", xs[: E * cap].reshape(E, cap, K), w
     ).reshape(-1, N), (wb,))
 
+    def bf16_naive(xs, w):
+        # the reference's naive per-expert loop baseline
+        # (`naive_grouped_gemm.py:34-41`): one dense dot per expert
+        outs = []
+        for e_i in range(E):
+            xe = jax.lax.dynamic_slice_in_dim(xs, e_i * cap, cap, 0)
+            outs.append(xe @ w[e_i].T)
+        return jnp.concatenate(outs, axis=0)
+
+    reg("bf16-naive", bf16_naive, (wb,))
+
     # w4a8-xla: int4-valued weights resident in i8 containers, int8
     # activations, integer einsum on the MXU — an XLA-streamed path for
     # platforms (like this tunneled chip) where XLA matmuls stream ~2.7x
@@ -229,7 +240,7 @@ def main(argv=None):
         with open(args.out) as f:
             results = json.load(f)
 
-    core = ["bf16-bmm", "int4", "int4-dequant", "w4a8", "w4a8-xla"]
+    core = ["bf16-bmm", "bf16-naive", "int4", "int4-dequant", "w4a8", "w4a8-xla"]
     modes_at = {32, 2048}  # cells where the mode comparison runs
     for t in args.tokens:
         tile_m = args.tile_m if t * TOPK <= 512 else args.prefill_tile_m

@@ -40,7 +40,7 @@ from fused4bit_tpu.layers.moe import (
 from fused4bit_tpu.models.config import get_config_by_name
 from fused4bit_tpu.ops.grouped_matmul import grouped_int4_matmul
 from fused4bit_tpu.quant import dequantize, quantize
-from fused4bit_tpu.utils.benchmark import BenchmarkResult, print_table, time_fn
+from fused4bit_tpu.utils.benchmark import BenchmarkResult, print_table, time_fn_scan
 
 
 def build(cfg, num_tokens, distribution, tile_m, seed=0):
@@ -61,39 +61,44 @@ def build(cfg, num_tokens, distribution, tile_m, seed=0):
 
 
 def implementations(env, tile_m):
+    """name -> (fn(xs, *consts), consts). Weights travel as jit arguments —
+    closures lower to literal HLO constants and ship inside the remote
+    compile request on this platform (AGENTS.md rule 5)."""
     E, K, N, cap = env["E"], env["K"], env["N"], env["cap"]
     wb, qt, plan = env["wb"], env["qt"], env["plan"]
+    gids = plan.tile_group_ids
 
-    def naive(xs):
+    def naive(xs, w):
         # Per-expert loop over capacity slices (static), like the reference's
         # python for-loop baseline.
         outs = []
         for e in range(E):
             xe = jax.lax.dynamic_slice_in_dim(xs, e * cap, cap, 0)
-            outs.append(xe @ wb[e].T)
+            outs.append(xe @ w[e].T)
         return jnp.concatenate(outs, axis=0)
 
-    def bmm(xs):
+    def bmm(xs, w):
         xp = xs[: E * cap].reshape(E, cap, K)
-        return jnp.einsum("eck,enk->ecn", xp, wb).reshape(-1, N)
+        return jnp.einsum("eck,enk->ecn", xp, w).reshape(-1, N)
 
-    def int4(xs):
-        return grouped_int4_matmul(xs, plan.tile_group_ids, qt, tile_m=tile_m)
+    def int4(xs, q):
+        return grouped_int4_matmul(xs, gids, q, tile_m=tile_m)
 
-    def int4_ref(xs):
-        wd = dequantize(qt, dtype=jnp.bfloat16)
+    def int4_ref(xs, q):
+        wd = dequantize(q, dtype=jnp.bfloat16)
         xp = xs[: E * cap].reshape(E, cap, K)
         return jnp.einsum("eck,enk->ecn", xp, wd).reshape(-1, N)
 
-    def fp4(xs):
+    def fp4(xs, f):
         # emulated E2M1 path (reference grouped_gemm_fp4.py analogue)
         from fused4bit_tpu.quant.fp4 import dequantize_fp4
-        wd = dequantize_fp4(env["fp4"], dtype=jnp.bfloat16)
+        wd = dequantize_fp4(f, dtype=jnp.bfloat16)
         xp = xs[: E * cap].reshape(E, cap, K)
         return jnp.einsum("eck,enk->ecn", xp, wd).reshape(-1, N)
 
-    return {"naive": naive, "bmm": bmm, "int4": int4, "int4-ref": int4_ref,
-            "fp4": fp4}
+    return {"naive": (naive, (wb,)), "bmm": (bmm, (wb,)),
+            "int4": (int4, (qt,)), "int4-ref": (int4_ref, (qt,)),
+            "fp4": (fp4, (env["fp4"],))}
 
 
 def run_once(cfg, num_tokens, distribution, warmup, iters, tile_m, verify, impls_filter):
@@ -104,14 +109,16 @@ def run_once(cfg, num_tokens, distribution, warmup, iters, tile_m, verify, impls
     xs = env["xs"]
     results = []
     outputs = {}
-    for name, fn in impls.items():
-        jf = jax.jit(fn)
+    for name, (fn, consts) in impls.items():
         try:
-            t = time_fn(lambda: jf(xs), warmup=warmup, iters=iters)
+            t = time_fn_scan(
+                fn, xs, consts=consts, warmup=min(warmup, 2),
+                iters=min(iters, 10), repeats=4,
+            )
         except Exception as exc:  # graceful feature flags, ref :67-97
             print(f"  [skip] {name}: {type(exc).__name__}: {str(exc)[:120]}")
             continue
-        outputs[name] = jf(xs)
+        outputs[name] = jax.jit(fn)(xs, *consts)
         results.append(
             BenchmarkResult(
                 name, t * 1e3, num_tokens=num_tokens,

@@ -48,7 +48,7 @@ TINY_TRAINED = ModelConfig(
     max_seq_len=256,
 )
 
-SEQ, BATCH, STEPS, LR = 128, 16, 1200, 3e-3
+SEQ, BATCH, STEPS, LR = 128, 16, 1000, 3e-3
 
 
 def load_corpus() -> np.ndarray:
