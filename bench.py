@@ -60,7 +60,10 @@ def main():
         for r in range(4):
             tok0 = jnp.full((b, 1), r + 3, jnp.int32)
             t0 = time.perf_counter()
-            loop(m, caches, tok0, pos0).block_until_ready()
+            # HOST FETCH as the barrier: block_until_ready returns early for
+            # XLA-only programs on this backend (the bf16 twins have no
+            # Pallas calls), silently under-measuring them.
+            np.asarray(loop(m, caches, tok0, pos0))
             ts.append((time.perf_counter() - t0) / steps)
         return sorted(ts)[len(ts) // 2]
 

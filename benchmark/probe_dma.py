@@ -54,38 +54,69 @@ def main():
     nbytes = a_u8.size
 
     t = time_fn_scan(
-        lambda eps: pallas_stream_sum(a_u8 + eps.astype(jnp.uint8)),
-        jnp.zeros((), jnp.uint8), iters=10, repeats=5,
+        lambda eps, a: pallas_stream_sum(a + eps.astype(jnp.uint8)),
+        jnp.zeros((), jnp.uint8), consts=(a_u8,), iters=10, repeats=5,
     )
-    results["pallas_stream_u8_gbps"] = nbytes / t / 1e9
+    results["pallas_stream_u8_gbps"] = round(nbytes / t / 1e9, 1)
 
-    for tile_rows in (256, 1024, 2048):
+    for tile_rows in (1024, 2048):
         t = time_fn_scan(
-            lambda eps: pallas_stream_sum(a_u8 + eps.astype(jnp.uint8), tile_rows),
-            jnp.zeros((), jnp.uint8), iters=10, repeats=3,
+            lambda eps, a: pallas_stream_sum(
+                a + eps.astype(jnp.uint8), tile_rows
+            ),
+            jnp.zeros((), jnp.uint8), consts=(a_u8,), iters=10, repeats=3,
         )
-        results[f"pallas_stream_u8_tile{tile_rows}_gbps"] = nbytes / t / 1e9
+        results[f"pallas_stream_u8_tile{tile_rows}_gbps"] = round(
+            nbytes / t / 1e9, 1
+        )
 
-    # XLA matvec: streams [N, K] bf16 weights once per call
+    # XLA weight-streaming rates at matmul shapes (the honest comparison
+    # point for the kernels: the matmul emitter streams ~2-3x faster than
+    # matvec/reduce emitters AND any Pallas pipeline on this platform)
     n, k = 16384, 8192  # 256 MB bf16
-    w = jnp.ones((n, k), jnp.bfloat16)
+    wbf = jnp.ones((n, k), jnp.bfloat16)
+    w8 = jnp.ones((n, k), jnp.int8)
 
-    def mv(eps):
+    def mm_bf(x, w):
+        return jax.lax.dot_general(
+            x, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def mm_i8(x, w):
+        return jax.lax.dot_general(
+            x, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    t = time_fn_scan(mm_bf, jnp.ones((16, k), jnp.bfloat16), consts=(wbf,),
+                     iters=10, repeats=5)
+    results["xla_matmul_bf16_m16_gbps"] = round(n * k * 2 / t / 1e9, 1)
+    t = time_fn_scan(mm_i8, jnp.ones((16, k), jnp.int8), consts=(w8,),
+                     iters=10, repeats=5)
+    results["xla_matmul_i8_m16_gbps"] = round(n * k / t / 1e9, 1)
+
+    def mv(eps, w):
         x = jnp.ones((k,), jnp.bfloat16) + eps
         return w @ x
 
-    t = time_fn_scan(mv, jnp.zeros((), jnp.bfloat16), iters=10, repeats=5)
-    results["xla_matvec_bf16_gbps"] = (n * k * 2) / t / 1e9
+    t = time_fn_scan(mv, jnp.zeros((), jnp.bfloat16), consts=(wbf,),
+                     iters=10, repeats=5)
+    results["xla_matvec_bf16_gbps"] = round((n * k * 2) / t / 1e9, 1)
 
     # XLA reduce over the u8 array
     t = time_fn_scan(
-        lambda eps: jnp.sum((a_u8 + eps.astype(jnp.uint8)).astype(jnp.int32)),
-        jnp.zeros((), jnp.uint8), iters=10, repeats=5,
+        lambda eps, a: jnp.sum((a + eps.astype(jnp.uint8)).astype(jnp.int32)),
+        jnp.zeros((), jnp.uint8), consts=(a_u8,), iters=10, repeats=5,
     )
-    results["xla_reduce_u8_gbps"] = nbytes / t / 1e9
+    results["xla_reduce_u8_gbps"] = round(nbytes / t / 1e9, 1)
 
     results["backend"] = jax.default_backend()
     results["device"] = str(jax.devices()[0])
+    results["protocol"] = (
+        "time_fn_scan: scan-in-jit, nonlinear full-output dependence, "
+        "host-fetch barrier, fresh inputs per repeat, median"
+    )
     print(json.dumps(results, indent=2))
     out = os.path.join(os.path.dirname(__file__), "results", "dma_probe.json")
     with open(out, "w") as f:

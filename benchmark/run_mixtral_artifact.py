@@ -247,10 +247,14 @@ def main(argv=None):
         for dist in args.dists:
             cell_key = f"T{t}_{dist}"
             cell = results.setdefault(cell_key, {})
+            extra = ["int4-xres", "int4-minner", "int4-ninner",
+                     "int4-ksplit"]
+            if t <= 512 and tile_m == 16:
+                # pg128's 16-way unrolled per-group loop only compiles at
+                # tile_m=16 on this remote compiler (HTTP 500 / hangs above)
+                extra.append("pg128")
             which = args.impls or (
-                core + ["int4-xres", "int4-minner", "int4-ninner",
-                        "int4-ksplit", "pg128"]
-                if (t in modes_at and dist == "uniform") else core
+                core + extra if (t in modes_at and dist == "uniform") else core
             )
             which = [w for w in which if w not in cell]  # resume partial runs
             if not which:
