@@ -48,8 +48,7 @@ def load_fixture_model():
         num_kv_heads=c["num_kv_heads"], head_dim=c["head_dim"],
         vocab_size=c["vocab_size"], max_seq_len=256,
     )
-    model = convert_safetensors(FIXTURE, cfg)
-    return model, cfg, meta
+    return cfg, meta
 
 
 def heldout_text(seq, rows):
@@ -80,10 +79,10 @@ def main():
         return 1
     from fused4bit_tpu.models.dense_baseline import dense_from_quantized
 
-    model, cfg, meta = load_fixture_model()
-    tokens = heldout_text(seq=128, rows=16)
+    from fused4bit_tpu.models.convert import convert_checkpoint
 
-    lg_q, nll_q = eval_model(model, cfg, tokens)
+    cfg, meta = load_fixture_model()
+    tokens = heldout_text(seq=128, rows=16)
 
     # bf16 dense reference built from the SAME fixture weights (not from the
     # quantized model): the honest quality comparison
@@ -91,26 +90,37 @@ def main():
     raw = load_safetensors(FIXTURE)
     dense = _dense_from_params(raw, cfg)
     lg_d, nll_d = eval_model(dense, cfg, tokens)
-
-    flat_q = lg_q.reshape(-1, lg_q.shape[-1])
     flat_d = lg_d.reshape(-1, lg_d.shape[-1])
-    top1 = float((flat_q.argmax(-1) == flat_d.argmax(-1)).mean())
-    cos = float(np.mean(
-        np.sum(flat_q * flat_d, -1)
-        / np.maximum(np.linalg.norm(flat_q, axis=-1)
-                     * np.linalg.norm(flat_d, axis=-1), 1e-9)
-    ))
+
     res = {
         "heldout_nll_bf16": round(nll_d, 4),
-        "heldout_nll_int4": round(nll_q, 4),
-        "nll_delta": round(nll_q - nll_d, 4),
-        "top1_agreement": round(top1, 4),
-        "logit_cosine_sim": round(cos, 4),
         "train_heldout_nll_at_export": meta["heldout_nll_per_byte"],
         "uniform_random_nll": round(float(np.log(cfg.vocab_size)), 4),
         "tokens_evaluated": int(tokens[:, 1:].size),
         "fixture": os.path.relpath(FIXTURE, REPO),
     }
+    # Both mixed-precision policies: the default (router dense, bf16) and
+    # everything-quantized (the round-1 behavior) — the delta IS the measured
+    # justification for the policy.
+    for label, kw in (
+        ("int4_router_dense", dict(quantize_router=False)),
+        ("int4_all_quantized", dict(quantize_router=True)),
+    ):
+        model = convert_checkpoint(raw, cfg, **kw)
+        lg_q, nll_q = eval_model(model, cfg, tokens)
+        flat_q = lg_q.reshape(-1, lg_q.shape[-1])
+        top1 = float((flat_q.argmax(-1) == flat_d.argmax(-1)).mean())
+        cos = float(np.mean(
+            np.sum(flat_q * flat_d, -1)
+            / np.maximum(np.linalg.norm(flat_q, axis=-1)
+                         * np.linalg.norm(flat_d, axis=-1), 1e-9)
+        ))
+        res[label] = {
+            "heldout_nll": round(nll_q, 4),
+            "nll_delta": round(nll_q - nll_d, 4),
+            "top1_agreement": round(top1, 4),
+            "logit_cosine_sim": round(cos, 4),
+        }
     print(json.dumps(res, indent=2))
     out = os.path.join(REPO, "benchmark", "results", "quality_trained.json")
     with open(out, "w") as f:

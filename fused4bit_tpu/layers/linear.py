@@ -24,7 +24,46 @@ from ..ops.int4_matmul import int4_matmul
 from ..quant.core import QuantizedTensor, quantize
 from ..quant.reference import reference_linear_qt
 
-__all__ = ["QuantizedLinear"]
+__all__ = ["QuantizedLinear", "DenseLinear"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DenseLinear:
+    """Unquantized linear (bf16/f32) — for layers excluded from INT4 by a
+    mixed-precision policy (routers, optionally lm_head). MoE routers are
+    tiny ([E, H]) but their argmax decides expert assignment; quantizing
+    them flips top-k choices on trained weights (see
+    benchmark/results/quality_trained.json for the measured effect).
+    """
+
+    weight: jnp.ndarray  # [N, K]
+    bias: Optional[jnp.ndarray] = None
+
+    @property
+    def in_dim(self) -> int:
+        return self.weight.shape[1]
+
+    @property
+    def out_dim(self) -> int:
+        return self.weight.shape[0]
+
+    @property
+    def nbytes(self) -> int:
+        extra = (
+            self.bias.size * self.bias.dtype.itemsize
+            if self.bias is not None else 0
+        )
+        return self.weight.size * self.weight.dtype.itemsize + extra
+
+    def as_xla_turbo(self) -> "DenseLinear":
+        return self  # already XLA-native
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = x @ self.weight.T.astype(x.dtype)
+        if self.bias is not None:
+            y = y + self.bias.astype(y.dtype)
+        return y
 
 
 @jax.tree_util.register_dataclass

@@ -95,8 +95,24 @@ def convert_checkpoint(
     params: Mapping[str, np.ndarray],
     cfg: ModelConfig,
     dtype=jnp.bfloat16,
+    *,
+    quantize_router: bool = False,
+    quantize_lm_head: bool = True,
 ) -> QuantizedTransformer:
-    """Build an INT4 `QuantizedTransformer` from a flat dense-weight dict."""
+    """Build an INT4 `QuantizedTransformer` from a flat dense-weight dict.
+
+    Mixed-precision policy: the MoE router defaults to DENSE (bf16) — it is
+    [E, H]-tiny but its argmax decides expert assignment, and quantizing it
+    measurably degrades trained-weight top-1 agreement; `quantize_lm_head`
+    stays True by default (the [V, H] head is a real memory consumer).
+    """
+    from ..layers.linear import DenseLinear
+
+    def _router(w):
+        if quantize_router:
+            return _qlinear(w)
+        return DenseLinear(weight=jnp.asarray(w, dtype))
+
     hidden = cfg.num_heads * cfg.head_dim
     blocks = []
     for layer in range(cfg.num_layers):
@@ -113,7 +129,7 @@ def convert_checkpoint(
         )
         e = cfg.moe.num_experts
         moe = MoEBlock(
-            router=_qlinear(params[f"{pre}.moe.router.weight"]),
+            router=_router(params[f"{pre}.moe.router.weight"]),
             w_gate=MoEINT4(weight=_stack_experts(
                 lambda i: params[f"{pre}.moe.experts.{i}.w1.weight"], e)),
             w_up=MoEINT4(weight=_stack_experts(
@@ -136,6 +152,9 @@ def convert_checkpoint(
         embed=jnp.asarray(params["embed.weight"], dtype),
         blocks=tuple(blocks),
         final_norm=jnp.asarray(params["final_norm.weight"], dtype),
-        lm_head=_qlinear(params["lm_head.weight"]),
+        lm_head=(_qlinear(params["lm_head.weight"])
+                 if quantize_lm_head
+                 else DenseLinear(
+                     weight=jnp.asarray(params["lm_head.weight"], dtype))),
         rms_eps=cfg.rms_eps,
     )

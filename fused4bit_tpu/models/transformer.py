@@ -433,7 +433,9 @@ def as_turbo(model: "QuantizedTransformer") -> "QuantizedTransformer":
     MXU int8 rates). MoE tile_m is raised to 32 (the int8 sublane tile).
     """
 
-    def conv_linear(l: QuantizedLinear) -> QuantizedLinear:
+    def conv_linear(l):
+        if not isinstance(l, QuantizedLinear):
+            return l  # DenseLinear routers/heads pass through
         return dataclasses.replace(l, activation="int8")
 
     def conv_moe(m: MoEINT4) -> MoEINT4:
