@@ -248,11 +248,7 @@ def main(argv=None):
             cell_key = f"T{t}_{dist}"
             cell = results.setdefault(cell_key, {})
             extra = ["int4-xres", "int4-minner", "int4-ninner",
-                     "int4-ksplit"]
-            if t <= 512 and tile_m == 16:
-                # pg128's 16-way unrolled per-group loop only compiles at
-                # tile_m=16 on this remote compiler (HTTP 500 / hangs above)
-                extra.append("pg128")
+                     "int4-ksplit", "pg128"]
             which = args.impls or (
                 core + extra if (t in modes_at and dist == "uniform") else core
             )

@@ -595,14 +595,20 @@ def _grouped_pg_kernel(
     gid_ref,      # [num_tiles] i32 (scalar prefetch)
     x_ref,        # [TM, K]
     w_ref,        # [1, TN, K/2] u8 planar
-    s_ref,        # [1, G, TN, 1] f32 (pre-columnized)
-    z_ref,        # [1, G, TN, 1] f32
+    s_ref,        # [1, G, 1, TN] f32 — TN in the LANE dim: a [.., TN, 1]
+    z_ref,        # [1, G, 1, TN]       layout pads the trailing 1 to 128
+                  #                     lanes (measured 34 MB VMEM -> OOM)
     o_ref,        # [TM, TN]
     *,
     k_half: int,
     group_size: int,
     compute_dtype,
 ):
+    # fori_loop over K-groups (NOT a Python unroll: the 16x-unrolled body
+    # crashes the remote Mosaic compiler at tile_m >= 32 and compiles for
+    # tens of minutes otherwise; a grid dimension per group has ~25 us/step
+    # fixed cost — 4480 steps = 119 ms measured. The rolled loop keeps the
+    # (n, m) grid's step count with a compact program.)
     prec = (
         jax.lax.Precision.HIGHEST
         if compute_dtype == jnp.float32
@@ -610,29 +616,35 @@ def _grouped_pg_kernel(
     )
     dims = (((1,), (1,)), ((), ()))
     n_groups_half = k_half // group_size
-    acc = jnp.zeros((x_ref.shape[0], o_ref.shape[1]), jnp.float32)
-    for g in range(n_groups_half):
-        sl = slice(g * group_size, (g + 1) * group_size)
-        p_g = w_ref[0][:, sl]
-        zp_lo = z_ref[0, g, :, :].astype(compute_dtype)  # [TN, 1]
+
+    def body(g, acc):
+        off = pl.multiple_of(g * group_size, group_size)
+        p_g = w_ref[0, :, pl.ds(off, group_size)]
+        zp_lo = z_ref[0, g, 0, :][:, None].astype(compute_dtype)  # [TN, 1]
         qlo = (p_g & 0x0F).astype(jnp.int8).astype(compute_dtype) - zp_lo
         d_lo = jax.lax.dot_general(
-            x_ref[:, sl].astype(compute_dtype), qlo, dims,
+            x_ref[:, pl.ds(off, group_size)].astype(compute_dtype), qlo, dims,
             preferred_element_type=jnp.float32, precision=prec,
         )
-        acc += s_ref[0, g, :, 0][None, :] * d_lo
+        acc += s_ref[0, g, 0, :][None, :] * d_lo
 
         gh = n_groups_half + g
-        zp_hi = z_ref[0, gh, :, :].astype(compute_dtype)
-        vhi = pltpu.bitcast(p_g & 0xF0, jnp.int8).astype(compute_dtype) - 16.0 * (
-            zp_hi - 8.0
-        )
-        x_hi = x_ref[:, k_half + g * group_size : k_half + (g + 1) * group_size]
+        zp_hi = z_ref[0, gh, 0, :][:, None].astype(compute_dtype)
+        vhi = pltpu.bitcast(p_g & 0xF0, jnp.int8).astype(
+            compute_dtype
+        ) - 16.0 * (zp_hi - 8.0)
+        off_hi = pl.multiple_of(k_half + g * group_size, group_size)
         d_hi = jax.lax.dot_general(
-            x_hi.astype(compute_dtype), vhi, dims,
-            preferred_element_type=jnp.float32, precision=prec,
+            x_ref[:, pl.ds(off_hi, group_size)].astype(compute_dtype), vhi,
+            dims, preferred_element_type=jnp.float32, precision=prec,
         )
-        acc += (0.0625 * s_ref[0, gh, :, 0])[None, :] * d_hi
+        acc += (0.0625 * s_ref[0, gh, 0, :])[None, :] * d_hi
+        return acc
+
+    acc = jax.lax.fori_loop(
+        0, n_groups_half, body,
+        jnp.zeros((x_ref.shape[0], o_ref.shape[1]), jnp.float32),
+    )
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
@@ -674,13 +686,13 @@ def _grouped_pg_padded(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, g_total, tile_n, 1),
-                lambda *a: (a[-1][mi(*a)], 0, ni(*a), 0),
+                (1, g_total, 1, tile_n),
+                lambda *a: (a[-1][mi(*a)], 0, 0, ni(*a)),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, g_total, tile_n, 1),
-                lambda *a: (a[-1][mi(*a)], 0, ni(*a), 0),
+                (1, g_total, 1, tile_n),
+                lambda *a: (a[-1][mi(*a)], 0, 0, ni(*a)),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -740,9 +752,10 @@ def grouped_int4_matmul_per_group(
         packed = jnp.pad(packed, ((0, 0), (0, n_pad - n), (0, 0)))
         scales = jnp.pad(scales, ((0, 0), (0, n_pad - n), (0, 0)))
         zps = jnp.pad(zps, ((0, 0), (0, n_pad - n), (0, 0)))
-    # pre-columnize: [E, G, N, 1]
-    scales_t = jnp.swapaxes(scales, 1, 2)[..., None].astype(jnp.float32)
-    zps_t = jnp.swapaxes(zps, 1, 2)[..., None].astype(jnp.float32)
+    # lane-major layout [E, G, 1, N]: N must sit in the lane dim (a
+    # trailing size-1 dim would pad to 128 lanes and blow scoped VMEM)
+    scales_t = jnp.swapaxes(scales, 1, 2)[:, :, None, :].astype(jnp.float32)
+    zps_t = jnp.swapaxes(zps, 1, 2)[:, :, None, :].astype(jnp.float32)
 
     x_bytes_per_nsweep = t_pad * k * x_sorted.dtype.itemsize
     m_inner = x_bytes_per_nsweep * (n_pad // tn) <= qt.packed.size
