@@ -33,22 +33,28 @@ from fused4bit_tpu.models.safetensors_io import save_safetensors  # noqa: E402
 from fused4bit_tpu.models.transformer import QuantizedTransformer  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-FIXTURE_DIR = os.path.join(REPO, "tests", "fixtures")
+FIXTURE_DIR = os.environ.get(
+    "TRAIN_TINY_OUT", os.path.join(REPO, "tests", "fixtures")
+)
 
-# byte-level LM; geometry chosen so the fixture stays ~4 MB
+# byte-level LM; the default geometry keeps the committed fixture ~4 MB.
+# TRAIN_TINY_HIDDEN=384 trains a larger variant (for the quality-vs-hidden-
+# size evidence; not committed - reproducible from this script, seed 0).
+_H = int(os.environ.get("TRAIN_TINY_HIDDEN", "128"))
 TINY_TRAINED = ModelConfig(
     name="tiny-trained",
-    moe=MoEConfig("tiny-trained-moe", num_experts=4, hidden_dim=128,
-                  ffn_dim=256, top_k=2),
+    moe=MoEConfig("tiny-trained-moe", num_experts=4, hidden_dim=_H,
+                  ffn_dim=2 * _H, top_k=2),
     num_layers=2,
-    num_heads=2,
-    num_kv_heads=1,
+    num_heads=_H // 64,
+    num_kv_heads=max(1, _H // 128),
     head_dim=64,
     vocab_size=256,
     max_seq_len=256,
 )
 
-SEQ, BATCH, STEPS, LR = 128, 16, 1000, 3e-3
+SEQ, BATCH, STEPS, LR = 128, 16, int(os.environ.get("TRAIN_TINY_STEPS", "1000")), 3e-3
+FIXTURE_NAME = os.environ.get("TRAIN_TINY_NAME", "tiny_trained")
 
 
 def load_corpus() -> np.ndarray:
@@ -128,7 +134,7 @@ def main():
           f"{np.log(256):.3f})")
 
     os.makedirs(FIXTURE_DIR, exist_ok=True)
-    out = os.path.join(FIXTURE_DIR, "tiny_trained.safetensors")
+    out = os.path.join(FIXTURE_DIR, FIXTURE_NAME + ".safetensors")
     save_safetensors(out, export_params(dense),
                      metadata={"heldout_nll": f"{val:.4f}"})
     with open(out.replace(".safetensors", ".json"), "w") as f:
