@@ -87,6 +87,9 @@ def main(argv=None):
              "GB/s to --json",
     )
     p.add_argument("--json", default=None, help="write results JSON here")
+    p.add_argument("--plot", default=None,
+                   help="write latency/memory bar charts here (reference "
+                        "parity: run_benchmark.py:244-288)")
     args = p.parse_args(argv)
 
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
@@ -122,6 +125,42 @@ def main(argv=None):
         if args.json:
             with open(args.json, "w") as f:
                 json.dump(out, f, indent=2)
+    if args.plot and out:
+        plot_results(out, args.plot)
+    return 0
+
+
+def plot_results(out, path):
+    """Latency + weight-memory bar charts (reference plot parity)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    keys = list(out)
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4))
+    xs = range(len(keys))
+    ax1.bar([x - 0.2 for x in xs], [out[k]["bf16_ms"] for k in keys], 0.4,
+            label="bf16 dense (XLA)", color="#888888")
+    ax1.bar([x + 0.2 for x in xs], [out[k]["int4_ms"] for k in keys], 0.4,
+            label="int4 fused (Pallas)", color="#1f77b4")
+    ax1.set_ylabel("latency (ms)")
+    in_dim, out_dim = SHAPES[-1]
+    ax2.bar([0, 1], [out_dim * in_dim * 4 / 1e6, out_dim * in_dim * 2 / 1e6,
+                     ][0:2], 0.5, color="#888888", label="dense")
+    ax2.bar([2], [(out_dim * in_dim // 2 + out_dim * 8) / 1e6], 0.5,
+            color="#1f77b4", label="int4+scales")
+    ax2.set_xticks([0, 1, 2])
+    ax2.set_xticklabels(["fp32", "bf16", "int4"])
+    ax2.set_ylabel("weight MB")
+    for ax in (ax1, ax2):
+        ax.legend(fontsize=8)
+        ax.grid(axis="y", alpha=0.3)
+    ax1.set_xticks(list(xs))
+    ax1.set_xticklabels(keys, fontsize=7, rotation=20)
+    fig.suptitle(f"INT4 linear {in_dim}->{out_dim}")
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    print(f"wrote {path}")
     return 0
 
 

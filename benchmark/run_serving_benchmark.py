@@ -31,10 +31,21 @@ def main(argv=None):
     p.add_argument("--requests", type=int, default=16)
     p.add_argument("--max-new", type=int, default=24)
     p.add_argument("--max-seq", type=int, default=128)
+    p.add_argument("--mode", default="kernel",
+                   choices=["kernel", "turbo", "xla_turbo"],
+                   help="kernel = packed-u4 Pallas; turbo = w4a8 kernels; "
+                        "xla_turbo = int8-resident XLA (ops/int8_xla)")
+    p.add_argument("--json", default=None)
     args = p.parse_args(argv)
 
     cfg = flagship_model_config(args.scale)
     model = QuantizedTransformer.init(jax.random.PRNGKey(0), cfg)
+    if args.mode == "turbo":
+        from fused4bit_tpu.models.transformer import as_turbo
+        model = as_turbo(model)
+    elif args.mode == "xla_turbo":
+        from fused4bit_tpu.models.transformer import as_xla_turbo
+        model = as_xla_turbo(model)
     eng = ServingEngine(
         model, cfg, num_slots=args.slots, max_seq=args.max_seq,
         prefill_bucket=16,
@@ -63,6 +74,21 @@ def main(argv=None):
           f"({args.slots} slots, {jax.default_backend()})")
     lens = sorted(len(v) for v in out.values())
     print(f"tokens/request: min {lens[0]} median {lens[len(lens)//2]} max {lens[-1]}")
+    if args.json:
+        import json, os
+        data = {}
+        if os.path.exists(args.json):
+            data = json.load(open(args.json))
+        data[args.mode] = {
+            "generated_tokens_per_s": round(produced / dt, 1),
+            "requests": len(out), "tokens": produced, "slots": args.slots,
+            "scale": args.scale, "backend": jax.default_backend(),
+            "note": "host-driven engine loop: per-step dispatch through the "
+                    "tunnel dominates on this platform; relative mode "
+                    "comparison is still meaningful",
+        }
+        json.dump(data, open(args.json, "w"), indent=2)
+        print(f"wrote {args.json}")
     return 0
 
 
