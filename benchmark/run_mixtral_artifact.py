@@ -57,7 +57,7 @@ from fused4bit_tpu.ops.grouped_matmul import (
     grouped_int4_matmul_per_group,
 )
 from fused4bit_tpu.quant import dequantize, quantize
-from fused4bit_tpu.utils.benchmark import time_fn_scan
+from fused4bit_tpu.utils.benchmark import time_fn_scan, time_fn_slope
 
 E, K, N, TOPK = 8, 4096, 14336, 2
 
@@ -227,6 +227,10 @@ def main(argv=None):
     p.add_argument("--prefill-tile-m", type=int, default=64,
                    help="tile_m when T*top_k > 512 (MXU efficiency)")
     p.add_argument("--impls", nargs="*", default=None)
+    p.add_argument("--slope", action="store_true",
+                   help="TRUE per-op times via the two-point slope method "
+                        "(amortizes this platform's ~3 ms per-scan-step "
+                        "fixed cost; see utils.benchmark.time_fn_slope)")
     p.add_argument("--verify", action="store_true", default=True)
     p.add_argument("--no-verify", dest="verify", action="store_false")
     p.add_argument("--out", default=os.path.join(
@@ -267,10 +271,16 @@ def main(argv=None):
             for name, (fn, consts) in implementations(env, tile_m, which).items():
                 print(f"  [compile+time] {name} ...", flush=True)
                 try:
-                    sec = time_fn_scan(
-                        fn, env["xs"], consts=consts, iters=args.iters,
-                        repeats=args.repeats, warmup=1,
-                    )
+                    if args.slope:
+                        sec = time_fn_slope(
+                            fn, env["xs"], consts=consts, iters=args.iters,
+                            repeats=args.repeats, warmup=1, chain=8,
+                        )
+                    else:
+                        sec = time_fn_scan(
+                            fn, env["xs"], consts=consts, iters=args.iters,
+                            repeats=args.repeats, warmup=1,
+                        )
                 except Exception as exc:
                     print(f"  [skip] {name}: {type(exc).__name__}: "
                           f"{str(exc)[:110]}", flush=True)
