@@ -52,10 +52,15 @@ def load_fixture_model():
 
 
 def heldout_text(seq, rows):
-    sys.path.insert(0, os.path.join(REPO, "scripts"))
-    from train_tiny import load_corpus
-
-    corpus = load_corpus()
+    snap = FIXTURE.replace(".safetensors", ".corpus")
+    if os.path.exists(snap):
+        corpus = np.fromfile(snap, np.uint8)
+    else:
+        # docs evolve with the repo; without a snapshot the held-out tail is
+        # real text but not byte-identical to the training-time split
+        sys.path.insert(0, os.path.join(REPO, "scripts"))
+        from train_tiny import load_corpus
+        corpus = load_corpus()
     held = corpus[int(len(corpus) * 0.9):]
     hb = held[: (len(held) // seq) * seq].reshape(-1, seq)
     return hb[:rows].astype(np.int32)
@@ -105,6 +110,12 @@ def main():
     for label, kw in (
         ("int4_router_dense", dict(quantize_router=False)),
         ("int4_all_quantized", dict(quantize_router=True)),
+        # finer granularity = the quality lever: per-group scales every 64
+        # weights instead of per 128/256-wide rows
+        ("int4_per_group64", dict(quantize_router=False,
+                                  granularity="per_group", group_size=64)),
+        ("int4_per_tensor", dict(quantize_router=False,
+                                 granularity="per_tensor")),
     ):
         model = convert_checkpoint(raw, cfg, **kw)
         lg_q, nll_q = eval_model(model, cfg, tokens)

@@ -98,6 +98,8 @@ def convert_checkpoint(
     *,
     quantize_router: bool = False,
     quantize_lm_head: bool = True,
+    granularity: str = "per_row",
+    group_size: int = 128,
 ) -> QuantizedTransformer:
     """Build an INT4 `QuantizedTransformer` from a flat dense-weight dict.
 
@@ -107,6 +109,22 @@ def convert_checkpoint(
     stays True by default (the [V, H] head is a real memory consumer).
     """
     from ..layers.linear import DenseLinear
+    from ..quant.core import quantize as _jq
+
+    def _q(w):
+        """Quantize one dense [N, K] weight at the requested granularity."""
+        if granularity == "per_row":
+            return _qlinear(w)
+        qt = _jq(jnp.asarray(w, jnp.float32), granularity=granularity,
+                 layout="planar", group_size=group_size)
+        return QuantizedLinear(weight=qt)
+
+    def _qstack(get, num):
+        if granularity == "per_row":
+            return _stack_experts(get, num)
+        ws = jnp.stack([jnp.asarray(get(i), jnp.float32) for i in range(num)])
+        return _jq(ws, granularity=granularity, layout="planar",
+                   group_size=group_size)
 
     def _router(w):
         if quantize_router:
@@ -118,10 +136,10 @@ def convert_checkpoint(
     for layer in range(cfg.num_layers):
         pre = f"layers.{layer}"
         attn = Attention(
-            wq=_qlinear(params[f"{pre}.attn.q_proj.weight"]),
-            wk=_qlinear(params[f"{pre}.attn.k_proj.weight"]),
-            wv=_qlinear(params[f"{pre}.attn.v_proj.weight"]),
-            wo=_qlinear(params[f"{pre}.attn.o_proj.weight"]),
+            wq=_q(params[f"{pre}.attn.q_proj.weight"]),
+            wk=_q(params[f"{pre}.attn.k_proj.weight"]),
+            wv=_q(params[f"{pre}.attn.v_proj.weight"]),
+            wo=_q(params[f"{pre}.attn.o_proj.weight"]),
             num_heads=cfg.num_heads,
             num_kv_heads=cfg.num_kv_heads,
             head_dim=cfg.head_dim,
@@ -130,11 +148,11 @@ def convert_checkpoint(
         e = cfg.moe.num_experts
         moe = MoEBlock(
             router=_router(params[f"{pre}.moe.router.weight"]),
-            w_gate=MoEINT4(weight=_stack_experts(
+            w_gate=MoEINT4(weight=_qstack(
                 lambda i: params[f"{pre}.moe.experts.{i}.w1.weight"], e)),
-            w_up=MoEINT4(weight=_stack_experts(
+            w_up=MoEINT4(weight=_qstack(
                 lambda i: params[f"{pre}.moe.experts.{i}.w3.weight"], e)),
-            w_down=MoEINT4(weight=_stack_experts(
+            w_down=MoEINT4(weight=_qstack(
                 lambda i: params[f"{pre}.moe.experts.{i}.w2.weight"], e)),
             num_experts=e,
             top_k=cfg.moe.top_k,
@@ -152,7 +170,7 @@ def convert_checkpoint(
         embed=jnp.asarray(params["embed.weight"], dtype),
         blocks=tuple(blocks),
         final_norm=jnp.asarray(params["final_norm.weight"], dtype),
-        lm_head=(_qlinear(params["lm_head.weight"])
+        lm_head=(_q(params["lm_head.weight"])
                  if quantize_lm_head
                  else DenseLinear(
                      weight=jnp.asarray(params["lm_head.weight"], dtype))),

@@ -135,6 +135,10 @@ def main():
 
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     out = os.path.join(FIXTURE_DIR, FIXTURE_NAME + ".safetensors")
+    # snapshot the corpus: the docs evolve with the repo, and the eval's
+    # train/held-out split must match what this model actually saw
+    with open(out.replace(".safetensors", ".corpus"), "wb") as f:
+        f.write(corpus.tobytes())
     save_safetensors(out, export_params(dense),
                      metadata={"heldout_nll": f"{val:.4f}"})
     with open(out.replace(".safetensors", ".json"), "w") as f:
