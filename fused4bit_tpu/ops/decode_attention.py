@@ -7,21 +7,27 @@ dequantizes inside the kernel — the cache is never materialized in bf16, so
 long-context decode streams 4x fewer KV bytes (the same argument as the
 weight kernel, applied to the other big HBM consumer at decode time).
 
-Decode-only (query time-step T=1), GQA-aware: grid over
-(batch, kv_head, seq_tiles); each program advances one kv head's whole group
-of query heads over one S-tile of the cache with the standard online-softmax
-(flash) recurrence in VMEM scratch:
+The cache is SEQUENCE-PAIR-packed (`layers.kv_cache`): a K/V tile arrives as
+a [S_tile/2, D=128] u8 block — a full 128-lane VMEM tile (the earlier
+pack-along-D layout produced 64-wide blocks that waste half of every DMA;
+measured 90 vs 229 GB/s). The low nibbles are the tile's EVEN positions and
+the high nibbles (XOR 8) its ODD positions; flash attention is
+permutation-invariant over s, so the kernel simply processes the tile's rows
+in (evens, odds) order with a causal mask built from each row's true
+position.
 
-  k_t = (lo - zp_k) * s_k ; v_t likewise     (mask-only unpack, XOR-8 high
-                                              nibble — quant.core.pack_planar)
-  s_t   = q_g @ k_t^T / sqrt(D)  masked to s < length
+GQA-aware grid over (batch, kv_head, q_tile, seq_tiles); each program
+advances one kv head's group of query heads over one S-tile of the cache
+with the standard online-softmax (flash) recurrence in VMEM scratch:
+
   m'    = max(m, max(s_t));  a = exp(m - m')
   l'    = a*l + sum(exp(s_t - m'))
   acc'  = a*acc + exp(s_t - m') @ v_t
 
-S-tiling keeps VMEM bounded at any context length (a whole 4k+ cache head
-does not fit the 16MB VMEM dequantized). Lengths arrive via scalar prefetch;
-tiles entirely past a row's length contribute exactly zero (masked).
+S-tiling keeps VMEM bounded at any context length; query-tiling (<=512 rows
+per program) bounds it for any prefill chunk length. Lengths and query
+starts arrive via scalar prefetch; tiles entirely past a row's length or the
+q-tile's causal future contribute exactly zero (masked / skipped).
 """
 from __future__ import annotations
 
@@ -45,29 +51,35 @@ def _on_tpu() -> bool:
         return False
 
 
-def _dequant_rows(p, zp_col, s_col, compute_dtype):
-    """Packed [St, D/2] + per-row scale/zp -> dense [St, D] in compute_dtype.
+def _dequant_pairs(p, ze, se, zo, so, compute_dtype):
+    """Pair-packed [St/2, D] u8 -> dense [St, D] with rows ordered
+    (even positions, odd positions).
 
-    Dequantizes in f32 and casts once at the end, matching the golden
-    `dequantize_kv` bit-for-bit (stepwise bf16 rounding would diverge).
+    se/ze (so/zo): [St/2, 1] f32 scale/zp columns for the even (odd)
+    positions. Dequantizes in f32 and casts once, matching the golden
+    `QuantizedKVCache.dequantize` bit-for-bit.
     """
     lo = (p & 0x0F).astype(jnp.int8).astype(jnp.float32)
     vhi = pltpu.bitcast(p & 0xF0, jnp.int8).astype(jnp.float32)
     hi = vhi * 0.0625 + 8.0
-    lo_d = (lo - zp_col) * s_col
-    hi_d = (hi - zp_col) * s_col
-    return jnp.concatenate([lo_d, hi_d], axis=-1).astype(compute_dtype)
+    k_e = (lo - ze) * se
+    k_o = (hi - zo) * so
+    return jnp.concatenate([k_e, k_o], axis=0).astype(compute_dtype)
 
 
 def _attn_kernel(
     len_ref,      # [2B] i32 (scalar prefetch): [lengths | query starts]
     q_ref,        # [1, 1, QR, D] — QR = QT*G rows, t-major ((t, g) pairs)
-    kp_ref,       # [1, 1, St, D/2] u8
-    ks_ref,       # [1, 1, St, 1] f32
-    kz_ref,       # [1, 1, St, 1] f32
-    vp_ref,       # [1, 1, St, D/2] u8
-    vs_ref,       # [1, 1, St, 1] f32
-    vz_ref,       # [1, 1, St, 1] f32
+    kp_ref,       # [1, 1, St/2, D] u8 pair-packed
+    kse_ref,      # [1, 1, St/2, 1] f32 (even-position scales)
+    kze_ref,      # [1, 1, St/2, 1] f32
+    kso_ref,      # [1, 1, St/2, 1] f32 (odd-position scales)
+    kzo_ref,      # [1, 1, St/2, 1] f32
+    vp_ref,       # [1, 1, St/2, D] u8
+    vse_ref,      # [1, 1, St/2, 1] f32
+    vze_ref,      # [1, 1, St/2, 1] f32
+    vso_ref,      # [1, 1, St/2, 1] f32
+    vzo_ref,      # [1, 1, St/2, 1] f32
     o_ref,        # [1, 1, QR, D]
     m_ref,        # [QR, 1] f32 scratch: running max
     l_ref,        # [QR, 1] f32 scratch: running denom
@@ -98,12 +110,20 @@ def _attn_kernel(
     q_hi = qstart + (qt + 1) * qt_queries - 1  # last query position in tile
     @pl.when((t * s_tile < length) & (t * s_tile <= q_hi))
     def _tile():
-        k = _dequant_rows(kp_ref[0, 0], kz_ref[0, 0], ks_ref[0, 0], compute_dtype)
+        k = _dequant_pairs(
+            kp_ref[0, 0], kze_ref[0, 0], kse_ref[0, 0],
+            kzo_ref[0, 0], kso_ref[0, 0], compute_dtype,
+        )  # [St, D], rows = (evens, odds)
         q = q_ref[0, 0].astype(compute_dtype)  # [QR, D]
         scores = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * (1.0 / (head_dim ** 0.5))  # [QR, St]
-        span = t * s_tile + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        half = s_tile // 2
+        # column j's TRUE position: evens then odds of this tile
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        span = t * s_tile + jnp.where(
+            col < half, 2 * col, 2 * (col - half) + 1
+        )
         # Causal per query: rows are t-major ((query, group) pairs), so row r
         # is the query at position qstart + qt*QT + r//G; it may attend to
         # s <= its position and only to filled entries (s < length).
@@ -118,7 +138,10 @@ def _attn_kernel(
         alpha = jnp.exp(m_prev - m_new)          # [QR, 1]
         p = jnp.exp(scores - m_new)              # [QR, St] f32
         l_ref[:] = alpha * l_ref[:] + jnp.sum(p, axis=1, keepdims=True)
-        v = _dequant_rows(vp_ref[0, 0], vz_ref[0, 0], vs_ref[0, 0], compute_dtype)
+        v = _dequant_pairs(
+            vp_ref[0, 0], vze_ref[0, 0], vse_ref[0, 0],
+            vzo_ref[0, 0], vso_ref[0, 0], compute_dtype,
+        )  # [St, D], same row permutation as the scores columns
         pv = jax.lax.dot_general(
             p.astype(compute_dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -142,12 +165,12 @@ def _attn_kernel(
     ),
 )
 def _attn_call(
-    q4, lens_and_starts, kp, ks, kz, vp, vs, vz,
+    q4, lens_and_starts, kp, kse, kze, kso, kzo, vp, vse, vze, vso, vzo,
     *, s_tile, n_q, q_tile, compute_dtype, out_dtype, interpret,
 ):
     b, h_kv, rows, d = q4.shape
     g = rows // n_q  # query heads per kv head; rows are t-major (T, G)
-    s_max = kp.shape[2]
+    s_max = kp.shape[2] * 2
     n_s = s_max // s_tile
     n_qt = n_q // q_tile
     qr = q_tile * g
@@ -159,13 +182,13 @@ def _attn_call(
 
     def vec():
         return pl.BlockSpec(
-            (1, 1, s_tile, 1), lambda i, j, qt, t, L: (i, j, t, 0),
+            (1, 1, s_tile // 2, 1), lambda i, j, qt, t, L: (i, j, t, 0),
             memory_space=pltpu.VMEM,
         )
 
     def pk():
         return pl.BlockSpec(
-            (1, 1, s_tile, d // 2), lambda i, j, qt, t, L: (i, j, t, 0),
+            (1, 1, s_tile // 2, d), lambda i, j, qt, t, L: (i, j, t, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -175,7 +198,8 @@ def _attn_call(
         in_specs=[
             pl.BlockSpec((1, 1, qr, d), lambda i, j, qt, t, L: (i, j, qt, 0),
                          memory_space=pltpu.VMEM),
-            pk(), vec(), vec(), pk(), vec(), vec(),
+            pk(), vec(), vec(), vec(), vec(),
+            pk(), vec(), vec(), vec(), vec(),
         ],
         out_specs=pl.BlockSpec((1, 1, qr, d), lambda i, j, qt, t, L: (i, j, qt, 0),
                                memory_space=pltpu.VMEM),
@@ -194,16 +218,30 @@ def _attn_call(
         ),
         interpret=interpret,
     )(
-        lens_and_starts.astype(jnp.int32), q4, kp,
-        ks[..., None], kz[..., None], vp, vs[..., None], vz[..., None],
+        lens_and_starts.astype(jnp.int32), q4,
+        kp, kse, kze, kso, kzo, vp, vse, vze, vso, vzo,
     )
+
+
+def _split_scales(a):
+    """[B, H, S] per-position scale/zp -> even/odd [B, H, S/2, 1] columns."""
+    return a[:, :, 0::2, None], a[:, :, 1::2, None]
+
+
+def _cache_operands(cache):
+    kse, kso = _split_scales(cache.k_scale)
+    kze, kzo = _split_scales(cache.k_zp)
+    vse, vso = _split_scales(cache.v_scale)
+    vze, vzo = _split_scales(cache.v_zp)
+    return (cache.k_packed, kse, kze, kso, kzo,
+            cache.v_packed, vse, vze, vso, vzo)
 
 
 def int4_decode_attention(
     q: jnp.ndarray,        # [B, Hq, D] — single decode step (post-RoPE)
     cache,                 # QuantizedKVCache (lengths INCLUDE the new step)
     *,
-    s_tile: int = 512,
+    s_tile: int = 1024,
     compute_dtype=jnp.bfloat16,
     out_dtype=None,
     interpret: Optional[bool] = None,
@@ -225,14 +263,12 @@ def int4_decode_attention(
         out_dtype = q.dtype
     s_max = cache.max_seq
     st = min(s_tile, s_max)
-    while s_max % st != 0:
+    while s_max % st != 0 or st % 2 != 0:
         st //= 2
     q4 = q.reshape(b, h_kv, g, d)
     lens_starts = jnp.concatenate([cache.lengths, cache.lengths - 1])
     out = _attn_call(
-        q4, lens_starts,
-        cache.k_packed, cache.k_scale, cache.k_zp,
-        cache.v_packed, cache.v_scale, cache.v_zp,
+        q4, lens_starts, *_cache_operands(cache),
         s_tile=st, n_q=1, q_tile=1, compute_dtype=compute_dtype,
         out_dtype=out_dtype, interpret=interpret,
     )
@@ -244,20 +280,19 @@ def int4_prefill_attention(
     cache,                 # QuantizedKVCache (lengths INCLUDE the T new steps)
     starts: jnp.ndarray,   # [B] i32 — position of each row's first query
     *,
-    s_tile: int = 512,
+    s_tile: int = 1024,
     compute_dtype=jnp.bfloat16,
     out_dtype=None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Chunked prefill attention over the packed INT4 cache.
 
-    Same flash kernel as decode, with the queries tiled over a fourth grid
+    Same flash kernel as decode, with the queries tiled over a grid
     dimension: each program handles QT query positions x G grouped heads
-    (QT*G <= 512 rows bounds the VMEM scratch at ~512*D f32), so ANY chunk
-    length runs fused — the round-1 build fell back to a dequantize-
-    everything jnp path beyond 512 flattened rows. Per-query causal mask:
-    query t attends to positions <= starts[b] + t; s-tiles entirely in a
-    q-tile's causal future are skipped.
+    (QT*G <= 512 rows bounds the VMEM scratch), so ANY chunk length runs
+    fused. Per-query causal mask: query t attends to positions
+    <= starts[b] + t; s-tiles entirely in a q-tile's causal future are
+    skipped.
     Returns [B, Hq, T, D].
     """
     b, hq, t, d = q.shape
@@ -271,7 +306,7 @@ def int4_prefill_attention(
         out_dtype = q.dtype
     s_max = cache.max_seq
     st = min(s_tile, s_max)
-    while s_max % st != 0:
+    while s_max % st != 0 or st % 2 != 0:
         st //= 2
     # Query tiling: QT query positions per program, QT*G rows <= 512.
     qt = max(1, min(512 // g, t))
@@ -285,9 +320,7 @@ def int4_prefill_attention(
         [cache.lengths, starts.astype(jnp.int32)]
     )
     out = _attn_call(
-        q4, lens_starts,
-        cache.k_packed, cache.k_scale, cache.k_zp,
-        cache.v_packed, cache.v_scale, cache.v_zp,
+        q4, lens_starts, *_cache_operands(cache),
         s_tile=st, n_q=t_pad, q_tile=qt, compute_dtype=compute_dtype,
         out_dtype=out_dtype, interpret=interpret,
     )
