@@ -51,35 +51,29 @@ def _on_tpu() -> bool:
         return False
 
 
-def _dequant_pairs(p, ze, se, zo, so, compute_dtype):
-    """Pair-packed [St/2, D] u8 -> dense [St, D] with rows ordered
-    (even positions, odd positions).
-
-    se/ze (so/zo): [St/2, 1] f32 scale/zp columns for the even (odd)
-    positions. Dequantizes in f32 and casts once, matching the golden
-    `QuantizedKVCache.dequantize` bit-for-bit.
-    """
+def _unpack_codes(p, compute_dtype):
+    """Pair-packed [St/2, D] u8 -> integer codes [St, D] in compute_dtype,
+    rows ordered (even positions, odd positions). Codes are exact integers
+    in [0, 15] (the 0.0625 multiply is an exponent shift), so a
+    preferred_element_type=f32 dot over them is exact; the per-position
+    affine (scale, zp) is applied AFTER the dot on the score/PV side, where
+    scales live as lane-major row vectors — no column-scale blocks (which
+    lane-pad 1 -> 128 and both blow VMEM and bound s_tile)."""
     lo = (p & 0x0F).astype(jnp.int8).astype(jnp.float32)
     vhi = pltpu.bitcast(p & 0xF0, jnp.int8).astype(jnp.float32)
     hi = vhi * 0.0625 + 8.0
-    k_e = (lo - ze) * se
-    k_o = (hi - zo) * so
-    return jnp.concatenate([k_e, k_o], axis=0).astype(compute_dtype)
+    return jnp.concatenate([lo, hi], axis=0).astype(compute_dtype)
 
 
 def _attn_kernel(
     len_ref,      # [2B] i32 (scalar prefetch): [lengths | query starts]
     q_ref,        # [1, 1, QR, D] — QR = QT*G rows, t-major ((t, g) pairs)
     kp_ref,       # [1, 1, St/2, D] u8 pair-packed
-    kse_ref,      # [1, 1, St/2, 1] f32 (even-position scales)
-    kze_ref,      # [1, 1, St/2, 1] f32
-    kso_ref,      # [1, 1, St/2, 1] f32 (odd-position scales)
-    kzo_ref,      # [1, 1, St/2, 1] f32
+    ks_ref,       # [1, 1, 1, St] f32 — k scales, tile-permuted (evens|odds)
+    ksz_ref,      # [1, 1, 1, St] f32 — k scale*zp, same order
     vp_ref,       # [1, 1, St/2, D] u8
-    vse_ref,      # [1, 1, St/2, 1] f32
-    vze_ref,      # [1, 1, St/2, 1] f32
-    vso_ref,      # [1, 1, St/2, 1] f32
-    vzo_ref,      # [1, 1, St/2, 1] f32
+    vs_ref,       # [1, 1, 1, St] f32
+    vsz_ref,      # [1, 1, 1, St] f32
     o_ref,        # [1, 1, QR, D]
     m_ref,        # [QR, 1] f32 scratch: running max
     l_ref,        # [QR, 1] f32 scratch: running denom
@@ -110,14 +104,17 @@ def _attn_kernel(
     q_hi = qstart + (qt + 1) * qt_queries - 1  # last query position in tile
     @pl.when((t * s_tile < length) & (t * s_tile <= q_hi))
     def _tile():
-        k = _dequant_pairs(
-            kp_ref[0, 0], kze_ref[0, 0], kse_ref[0, 0],
-            kzo_ref[0, 0], kso_ref[0, 0], compute_dtype,
-        )  # [St, D], rows = (evens, odds)
+        k_codes = _unpack_codes(kp_ref[0, 0], compute_dtype)  # [St, D]
         q = q_ref[0, 0].astype(compute_dtype)  # [QR, D]
-        scores = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (1.0 / (head_dim ** 0.5))  # [QR, St]
+        raw = jax.lax.dot_general(
+            q, k_codes, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [QR, St]
+        qsum = jnp.sum(q.astype(jnp.float32), axis=1, keepdims=True)  # [QR,1]
+        # dequant post-dot:  q . ((c - z) s) = s (q . c) - (s z) (q . 1)
+        scores = (raw * ks_ref[0, 0] - qsum * ksz_ref[0, 0]) * (
+            1.0 / (head_dim ** 0.5)
+        )
         half = s_tile // 2
         # column j's TRUE position: evens then odds of this tile
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
@@ -138,15 +135,15 @@ def _attn_kernel(
         alpha = jnp.exp(m_prev - m_new)          # [QR, 1]
         p = jnp.exp(scores - m_new)              # [QR, St] f32
         l_ref[:] = alpha * l_ref[:] + jnp.sum(p, axis=1, keepdims=True)
-        v = _dequant_pairs(
-            vp_ref[0, 0], vze_ref[0, 0], vse_ref[0, 0],
-            vzo_ref[0, 0], vso_ref[0, 0], compute_dtype,
-        )  # [St, D], same row permutation as the scores columns
+        v_codes = _unpack_codes(vp_ref[0, 0], compute_dtype)  # [St, D]
+        # p @ ((c - z) s) per v-row = (p s_row) @ c - sum(p s_row z_row) . 1
+        ps = p * vs_ref[0, 0]                                # [QR, St] f32
         pv = jax.lax.dot_general(
-            p.astype(compute_dtype), v, (((1,), (0,)), ((), ())),
+            ps.astype(compute_dtype), v_codes, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        acc_ref[:] = alpha * acc_ref[:] + pv
+        corr = jnp.sum(p * vsz_ref[0, 0], axis=1, keepdims=True)  # [QR, 1]
+        acc_ref[:] = alpha * acc_ref[:] + (pv - corr)
         m_ref[:] = m_new
 
     @pl.when(t == n_s - 1)
@@ -165,7 +162,7 @@ def _attn_kernel(
     ),
 )
 def _attn_call(
-    q4, lens_and_starts, kp, kse, kze, kso, kzo, vp, vse, vze, vso, vzo,
+    q4, lens_and_starts, kp, ks, ksz, vp, vs, vsz,
     *, s_tile, n_q, q_tile, compute_dtype, out_dtype, interpret,
 ):
     b, h_kv, rows, d = q4.shape
@@ -180,9 +177,10 @@ def _attn_call(
         compute_dtype=compute_dtype,
     )
 
-    def vec():
+    def row():
+        # lane-major scale rows: tiny VMEM (8 x St f32), no lane padding
         return pl.BlockSpec(
-            (1, 1, s_tile // 2, 1), lambda i, j, qt, t, L: (i, j, t, 0),
+            (1, 1, 1, s_tile), lambda i, j, qt, t, L: (i, j, 0, t),
             memory_space=pltpu.VMEM,
         )
 
@@ -198,8 +196,8 @@ def _attn_call(
         in_specs=[
             pl.BlockSpec((1, 1, qr, d), lambda i, j, qt, t, L: (i, j, qt, 0),
                          memory_space=pltpu.VMEM),
-            pk(), vec(), vec(), vec(), vec(),
-            pk(), vec(), vec(), vec(), vec(),
+            pk(), row(), row(),
+            pk(), row(), row(),
         ],
         out_specs=pl.BlockSpec((1, 1, qr, d), lambda i, j, qt, t, L: (i, j, qt, 0),
                                memory_space=pltpu.VMEM),
@@ -219,22 +217,26 @@ def _attn_call(
         interpret=interpret,
     )(
         lens_and_starts.astype(jnp.int32), q4,
-        kp, kse, kze, kso, kzo, vp, vse, vze, vso, vzo,
+        kp, ks, ksz, vp, vs, vsz,
     )
 
 
-def _split_scales(a):
-    """[B, H, S] per-position scale/zp -> even/odd [B, H, S/2, 1] columns."""
-    return a[:, :, 0::2, None], a[:, :, 1::2, None]
+def _perm_rows(a, st):
+    """[B, H, S] per-position values -> [B, H, 1, S] lane-major rows where
+    each s_tile's entries are reordered (evens, odds) to match the kernel's
+    column permutation."""
+    b, h, s = a.shape
+    t = a.reshape(b, h, s // st, st)
+    perm = jnp.concatenate([t[..., 0::2], t[..., 1::2]], axis=-1)
+    return perm.reshape(b, h, 1, s)
 
 
-def _cache_operands(cache):
-    kse, kso = _split_scales(cache.k_scale)
-    kze, kzo = _split_scales(cache.k_zp)
-    vse, vso = _split_scales(cache.v_scale)
-    vze, vzo = _split_scales(cache.v_zp)
-    return (cache.k_packed, kse, kze, kso, kzo,
-            cache.v_packed, vse, vze, vso, vzo)
+def _cache_operands(cache, st):
+    ks = _perm_rows(cache.k_scale, st)
+    ksz = _perm_rows(cache.k_scale * cache.k_zp, st)
+    vs = _perm_rows(cache.v_scale, st)
+    vsz = _perm_rows(cache.v_scale * cache.v_zp, st)
+    return (cache.k_packed, ks, ksz, cache.v_packed, vs, vsz)
 
 
 def int4_decode_attention(
@@ -268,7 +270,7 @@ def int4_decode_attention(
     q4 = q.reshape(b, h_kv, g, d)
     lens_starts = jnp.concatenate([cache.lengths, cache.lengths - 1])
     out = _attn_call(
-        q4, lens_starts, *_cache_operands(cache),
+        q4, lens_starts, *_cache_operands(cache, st),
         s_tile=st, n_q=1, q_tile=1, compute_dtype=compute_dtype,
         out_dtype=out_dtype, interpret=interpret,
     )
@@ -320,7 +322,7 @@ def int4_prefill_attention(
         [cache.lengths, starts.astype(jnp.int32)]
     )
     out = _attn_call(
-        q4, lens_starts, *_cache_operands(cache),
+        q4, lens_starts, *_cache_operands(cache, st),
         s_tile=st, n_q=t_pad, q_tile=qt, compute_dtype=compute_dtype,
         out_dtype=out_dtype, interpret=interpret,
     )
