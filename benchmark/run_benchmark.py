@@ -28,13 +28,14 @@ import jax.numpy as jnp
 
 from fused4bit_tpu.ops.int4_matmul import int4_matmul
 from fused4bit_tpu.quant import quantize
-from fused4bit_tpu.utils.benchmark import BenchmarkResult, print_table, time_fn_scan
+from fused4bit_tpu.utils.benchmark import BenchmarkResult, print_table, time_fn_scan, time_fn_slope
 from fused4bit_tpu.utils.roofline import linear_roofline
 
 SHAPES = [(1024, 1024), (4096, 4096), (4096, 11008)]  # (in, out), ref :54-58
 
 
-def bench_shape(in_dim, out_dim, batch, iters, measured_bw=None):
+def bench_shape(in_dim, out_dim, batch, iters, measured_bw=None, slope=False,
+                chain=32):
     rng = np.random.default_rng(0)
     w = jnp.asarray(rng.standard_normal((out_dim, in_dim)), dtype=jnp.float32)
     wb = w.astype(jnp.bfloat16)
@@ -43,12 +44,20 @@ def bench_shape(in_dim, out_dim, batch, iters, measured_bw=None):
 
     # weights as consts (jit args), not closures: closure constants ship in
     # the remote compile request on this platform (see utils/benchmark.py)
-    t_dense = time_fn_scan(
-        lambda v, w: v @ w.T, x, consts=(wb,), iters=iters, repeats=3
-    )
-    t_int4 = time_fn_scan(
-        lambda v, q: int4_matmul(v, q), x, consts=(qt,), iters=iters, repeats=3
-    )
+    # chain=32: this op is ~0.1 ms true - an 8-op slope delta (~0.7 ms)
+    # drowns in the platform's per-dispatch jitter; 32 ops give a ~3 ms
+    # delta that resolves cleanly
+    kw = dict(consts=None, iters=6, repeats=4)
+    if slope:
+        t_dense = time_fn_slope(lambda v, w: v @ w.T, x, consts=(wb,),
+                                iters=6, repeats=4, chain=chain)
+        t_int4 = time_fn_slope(lambda v, q: int4_matmul(v, q), x, consts=(qt,),
+                               iters=6, repeats=4, chain=chain)
+    else:
+        t_dense = time_fn_scan(lambda v, w: v @ w.T, x, consts=(wb,),
+                               iters=min(iters, 8), repeats=3)
+        t_int4 = time_fn_scan(lambda v, q: int4_matmul(v, q), x, consts=(qt,),
+                              iters=min(iters, 8), repeats=3)
 
     dense_bytes = out_dim * in_dim * 2
     print(f"\n=== {in_dim} -> {out_dim}, batch={batch} ===")
@@ -87,6 +96,10 @@ def main(argv=None):
              "GB/s to --json",
     )
     p.add_argument("--json", default=None, help="write results JSON here")
+    p.add_argument("--slope", action="store_true",
+                   help="TRUE per-op latency (time_fn_slope) - otherwise "
+                        "numbers include this platform's ~3 ms per-iteration "
+                        "fixed cost")
     p.add_argument("--plot", default=None,
                    help="write latency/memory bar charts here (reference "
                         "parity: run_benchmark.py:244-288)")
@@ -98,7 +111,7 @@ def main(argv=None):
         in_dim, out_dim = SHAPES[-1]
         for b in args.sweep_batch:
             t_dense, t_int4 = bench_shape(
-                in_dim, out_dim, b, args.iters, args.measured_bw
+                in_dim, out_dim, b, args.iters, args.measured_bw, args.slope
             )
             int4_bytes = in_dim * b * 2 + out_dim * in_dim // 2 + out_dim * 8
             dense_bytes = in_dim * b * 2 + out_dim * in_dim * 2
@@ -116,7 +129,8 @@ def main(argv=None):
         shapes = SHAPES[-1:] if args.quick else SHAPES
         for in_dim, out_dim in shapes:
             t_dense, t_int4 = bench_shape(
-                in_dim, out_dim, args.batch, args.iters, args.measured_bw
+                in_dim, out_dim, args.batch, args.iters, args.measured_bw,
+                args.slope,
             )
             out[f"{in_dim}x{out_dim}_b{args.batch}"] = {
                 "bf16_ms": round(t_dense * 1e3, 4),

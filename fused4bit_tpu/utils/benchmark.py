@@ -88,7 +88,16 @@ def time_fn_scan(
             # rounds to exactly 0 in bf16 at trace time, and a *0 dependence
             # lets XLA fold integer compute chains to nothing (floats survive
             # only because x*0 isn't foldable under possible NaNs).
-            y = fn(x0 + carry, *cs)
+            # Nonlinear input mix: for a LINEAR fn, (x0 + eps) @ W
+            # distributes into loop-invariant dots + scalar combos and XLA
+            # hoists the whole weight stream out of the loop (observed: a
+            # 90 MB bf16 dot "measuring" 0.0 ms). sin(x0 + eps) (XOR for
+            # integer carriers) cannot be factored out.
+            if jnp.issubdtype(jnp.result_type(x0), jnp.integer):
+                xi = x0 ^ carry.astype(x0.dtype)
+            else:
+                xi = jnp.sin(x0 + carry)
+            y = fn(xi, *cs)
             # The dependence must cover the WHOLE output NON-LINEARLY:
             # depending on a single element lets XLA strength-reduce a dot to
             # the one row/column that element needs, and a plain sum(dot)
@@ -162,7 +171,11 @@ def time_fn_slope(
             def body(carry, _):
                 dep = carry
                 for _r in range(reps):
-                    y = fn(x0 + dep, *cs)
+                    if jnp.issubdtype(jnp.result_type(x0), jnp.integer):
+                        xi = x0 ^ dep.astype(x0.dtype)
+                    else:
+                        xi = jnp.sin(x0 + dep)  # nonlinear mix, see above
+                    y = fn(xi, *cs)
                     y0 = jnp.sum(jnp.abs(jnp.real(y)))
                     if jnp.issubdtype(jnp.result_type(x0), jnp.integer):
                         dep = (y0.astype(jnp.int32) % 2).astype(x0.dtype)
