@@ -74,10 +74,13 @@ def main():
 
     # The INT4 model's headline config is whichever int4 execution mode wins
     # on this platform (packed-u4 Pallas kernels vs int8-resident XLA —
-    # ops/int8_xla.py documents the platform trade). vs_baseline is the
-    # STRONG dense twin (each expert's weights streamed exactly once per
-    # step); vs_naive_dense mirrors the reference's naive-FP16 comparison
-    # philosophy (README.md:24-34) and is reported alongside for parity.
+    # ops/int8_xla.py documents the platform trade). Both modes run DROPLESS
+    # MoE at decode (xla_turbo's capacity/drop layout applies only at prefill
+    # sizes, models/transformer.py MoEBlock.__call__), so this min() compares
+    # identical semantics. vs_baseline is the STRONG dense twin (each
+    # expert's weights streamed exactly once per step); vs_naive_dense
+    # mirrors the reference's naive-FP16 comparison philosophy
+    # (README.md:24-34) and is reported alongside for parity.
     t_int4 = min(t_kernel, t_turbo)
     print(json.dumps({
         "metric": "int4_model_decode_ms_per_step_mixtral_small_b8",

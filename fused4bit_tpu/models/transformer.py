@@ -221,6 +221,15 @@ class MoEBlock:
         xf = x.reshape(b * t, h)
         routing = topk_route(self.router(xf), self.top_k, self.num_experts)
         if self.moe_impl == "xla_turbo":
+            # Decode stays DROPLESS: the capacity layout drops tokens routed
+            # beyond capacity_factor x mean load (Switch semantics), which is
+            # acceptable as a prefill throughput trade but a silent semantic
+            # change at decode (round-2 advisor). The grouped kernel is also
+            # the measured decode winner, so xla_turbo only changes prefill.
+            if b * t <= self.prefill_threshold:
+                return self._grouped_forward(
+                    xf, routing, self.tile_m
+                ).reshape(b, t, h)
             return self._xla_turbo_forward(xf, routing).reshape(b, t, h)
         if b * t > self.prefill_threshold:
             if self.prefill_impl == "einsum":

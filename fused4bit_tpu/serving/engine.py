@@ -72,11 +72,23 @@ class ServingEngine:
         seed: int = 0,
         mesh=None,
         interpret=None,
+        decode_block: int = 1,
     ):
         """`mesh`: run every forward through the fully sharded model step
         (DP batch x EP experts, `parallel.sharded_model`). The model must
         already be placed with `place_model`, and num_slots must divide by
-        the data-axis size."""
+        the data-axis size.
+
+        `decode_block`: number of decode steps fused into ONE compiled
+        program (`lax.scan` over steps, sampling in-graph, per-slot
+        early-inactive masks). Each host dispatch on this platform costs
+        ~3 ms regardless of work (NOTES_r2 platform truth #4), so decoding
+        D tokens per dispatch raises serving throughput nearly D-fold until
+        device time dominates — the serving analogue of the reference
+        killing its per-expert `.item()` syncs
+        (`/root/reference/csrc/moe_int4_kernel.cu:112-134`). Slots that
+        finish (EOS / budget) mid-block idle until the block ends, so very
+        large D trades tail latency; 8-32 is the sweet spot."""
         self.model = model
         self.cfg = cfg
         self.num_slots = num_slots
@@ -85,6 +97,15 @@ class ServingEngine:
         self.sampler = sampler
         self.mesh = mesh
         self.interpret = interpret
+        # Chunked prefill pads the final chunk to a full bucket; if the bucket
+        # grid didn't tile max_seq, that padded append could cross max_seq and
+        # dynamic_update_slice's silent clamp would shear the packed codes from
+        # their scales, corrupting earlier valid positions (round-2 advisor).
+        if max_seq % prefill_bucket != 0:
+            raise ValueError(
+                f"max_seq ({max_seq}) must be a multiple of prefill_bucket "
+                f"({prefill_bucket}) so chunked prefill never writes past the cache"
+            )
 
         self.caches = model.init_cache(cfg, num_slots, max_seq)
         self.queue: Deque[GenerationRequest] = deque()
@@ -97,7 +118,11 @@ class ServingEngine:
         self._remaining = np.zeros((num_slots,), np.int32)
         self._key = jax.random.PRNGKey(seed)
 
+        if decode_block < 1:
+            raise ValueError(f"decode_block must be >= 1, got {decode_block}")
+        self.decode_block = decode_block
         self._decode = jax.jit(self._decode_impl)
+        self._decode_blk = jax.jit(self._decode_block_impl)
         if mesh is None:
             self._prefill = jax.jit(self._prefill_impl)
         else:
@@ -124,6 +149,41 @@ class ServingEngine:
         # attention for other slots (batch rows never interact).
         nxt = jnp.where(active_mask, nxt, 0)
         return nxt, caches
+
+    def _decode_block_impl(
+        self, model, caches, cur, pos, remaining, eos, key, active
+    ):
+        """`decode_block` decode steps in ONE compiled program.
+
+        lax.scan over steps; sampling + EOS/budget retirement masks run
+        in-graph. Returns the per-step tokens [D, B] and the was-active
+        mask [D, B] so the host appends exactly the tokens each slot
+        actually generated. Slots that retire mid-block keep running with
+        a parked token (masked inactive) — their cache writes land at a
+        stale position and never corrupt live rows (same invariant as
+        `_decode_impl`).
+        """
+
+        def body(carry, _):
+            caches, cur, pos, remaining, active, key = carry
+            key, sub = jax.random.split(key)
+            logits, caches = self._forward(model, cur[:, None], caches, pos[:, None])
+            nxt = self.sampler.sample(logits[:, 0], sub)
+            nxt = jnp.where(active, nxt, 0)
+            act_i = active.astype(jnp.int32)
+            new_rem = remaining - act_i
+            finished = active & ((nxt == eos) | (new_rem <= 0))
+            out_tok, out_act = nxt, active
+            cur = jnp.where(active, nxt, cur)
+            pos = pos + act_i
+            active = active & ~finished
+            return (caches, cur, pos, new_rem, active, key), (out_tok, out_act)
+
+        (caches, cur, pos, remaining, active, _), (toks, acts) = jax.lax.scan(
+            body, (caches, cur, pos, remaining, active, key), None,
+            length=self.decode_block,
+        )
+        return caches, cur, pos, remaining, active, toks, acts
 
     def _prefill_impl(self, model, caches, prompt_row, slot, start_pos):
         """Prefill one slot with a [bucket]-padded prompt (batch of 1 lane).
@@ -173,9 +233,10 @@ class ServingEngine:
         # [max_seq - bucket, max_seq) — never into live history (active rows
         # are budget-capped below max_seq - bucket in mesh mode, see _admit).
         park = jnp.int32(self.max_seq - t)
-        row_starts = jnp.where(
-            jnp.arange(b) == slot, jnp.zeros((), jnp.int32), park
-        )
+        # The target row's chunk starts at start_pos (chunked prefill passes
+        # c*bucket for chunk c) — hardcoding 0 here wrote every chunk's K/V at
+        # positions [0, bucket) with wrong RoPE phases (round-2 advisor, high).
+        row_starts = jnp.where(jnp.arange(b) == slot, start_pos, park)
         positions = row_starts[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
         logits, caches = self._forward(model, tokens, caches, positions)
         # rewind every non-target row to its previous length

@@ -226,3 +226,36 @@ class TestShardedEngine:
         eng2.submit(GenerationRequest(uid=0, prompt=prompt, max_new_tokens=1))
         first_sharded = eng2.run()[0][0]
         assert first_sharded == first_single
+
+    @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+    def test_sharded_chunked_prefill_matches_single_device(self, setup):
+        """Prompt 3x the prefill bucket through the SHARDED engine: every
+        chunk must append K/V at its own start_pos with correct RoPE phases
+        (round-2 advisor high: _prefill_sharded_impl hardcoded the target
+        row's start to 0, piling all chunks onto positions [0, bucket))."""
+        from fused4bit_tpu.parallel.mesh import make_mesh
+        from fused4bit_tpu.parallel.sharded_model import place_model
+
+        cfg, model = setup
+        prompt = list(range(3, 3 + 11))  # 11 tokens, bucket 4 -> chunks 4/4/3
+        eng1 = ServingEngine(model, cfg, num_slots=2, max_seq=64,
+                             prefill_bucket=4)
+        eng1.submit(GenerationRequest(uid=0, prompt=prompt, max_new_tokens=1))
+        first_single = eng1.run()[0][0]
+
+        mesh = make_mesh(("data", "expert"), (2, 4))
+        sm = place_model(model, mesh)
+        eng2 = ServingEngine(sm, cfg, num_slots=2, max_seq=64,
+                             prefill_bucket=4, mesh=mesh, interpret=True)
+        eng2.submit(GenerationRequest(uid=0, prompt=prompt, max_new_tokens=1))
+        first_sharded = eng2.run()[0][0]
+        assert first_sharded == first_single
+
+    def test_bucket_must_tile_max_seq(self, setup):
+        """max_seq % prefill_bucket != 0 is rejected at construction: a padded
+        final chunk could otherwise write past the cache and the clamped
+        scale update would corrupt earlier positions (round-2 advisor)."""
+        cfg, model = setup
+        with pytest.raises(ValueError, match="multiple of prefill_bucket"):
+            ServingEngine(model, cfg, num_slots=2, max_seq=60,
+                          prefill_bucket=8)
