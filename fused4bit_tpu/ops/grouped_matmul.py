@@ -599,6 +599,7 @@ def _grouped_pg_kernel(
     z_ref,        # [1, G, 1, TN]       layout pads the trailing 1 to 128
                   #                     lanes (measured 34 MB VMEM -> OOM)
     o_ref,        # [TM, TN]
+    wd_ref,       # [TN, K/2] compute_dtype scratch — dequantized half-tile
     *,
     k_half: int,
     group_size: int,
@@ -607,8 +608,14 @@ def _grouped_pg_kernel(
     # fori_loop over K-groups (NOT a Python unroll: the 16x-unrolled body
     # crashes the remote Mosaic compiler at tile_m >= 32 and compiles for
     # tens of minutes otherwise; a grid dimension per group has ~25 us/step
-    # fixed cost — 4480 steps = 119 ms measured. The rolled loop keeps the
-    # (n, m) grid's step count with a compact program.)
+    # fixed cost — 4480 steps = 119 ms measured.)
+    #
+    # Round-3 structure (same as ops.int4_matmul._int4_group_kernel): the
+    # loop AFFINE-DEQUANTIZES each group slice into the wd scratch tile —
+    # two [TN,1]-broadcast VPU ops per slice — then ONE fat full-K/2 MXU dot
+    # per half. The round-2 body ran 2*G skinny dots (contraction =
+    # group_size) plus 2*G accumulator rescales, measuring 1.6-2.6x slower
+    # than per_row; this form has the per_row kernel's DMA and MXU shape.
     prec = (
         jax.lax.Precision.HIGHEST
         if compute_dtype == jnp.float32
@@ -617,33 +624,36 @@ def _grouped_pg_kernel(
     dims = (((1,), (1,)), ((), ()))
     n_groups_half = k_half // group_size
 
-    def body(g, acc):
-        off = pl.multiple_of(g * group_size, group_size)
+    def body_lo(g, carry):
+        off = pl.multiple_of(g * group_size, 128)
         p_g = w_ref[0, :, pl.ds(off, group_size)]
-        zp_lo = z_ref[0, g, 0, :][:, None].astype(compute_dtype)  # [TN, 1]
-        qlo = (p_g & 0x0F).astype(jnp.int8).astype(compute_dtype) - zp_lo
-        d_lo = jax.lax.dot_general(
-            x_ref[:, pl.ds(off, group_size)].astype(compute_dtype), qlo, dims,
-            preferred_element_type=jnp.float32, precision=prec,
-        )
-        acc += s_ref[0, g, 0, :][None, :] * d_lo
+        q = (p_g & 0x0F).astype(jnp.int8).astype(compute_dtype)
+        s = s_ref[0, g, 0, :][:, None].astype(compute_dtype)   # [TN, 1]
+        zp = z_ref[0, g, 0, :][:, None].astype(compute_dtype)
+        wd_ref[:, pl.ds(off, group_size)] = s * q - s * zp
+        return carry
 
+    jax.lax.fori_loop(0, n_groups_half, body_lo, 0, unroll=False)
+    acc = jax.lax.dot_general(
+        x_ref[:, :k_half].astype(compute_dtype), wd_ref[:],
+        dims, preferred_element_type=jnp.float32, precision=prec,
+    )
+
+    def body_hi(g, carry):
+        off = pl.multiple_of(g * group_size, 128)
+        p_g = w_ref[0, :, pl.ds(off, group_size)]
+        # vhi = 16*(q_hi - 8); s*(q - zp) = (s/16)*vhi + s*(8 - zp)
+        vhi = pltpu.bitcast(p_g & 0xF0, jnp.int8).astype(compute_dtype)
         gh = n_groups_half + g
-        zp_hi = z_ref[0, gh, 0, :][:, None].astype(compute_dtype)
-        vhi = pltpu.bitcast(p_g & 0xF0, jnp.int8).astype(
-            compute_dtype
-        ) - 16.0 * (zp_hi - 8.0)
-        off_hi = pl.multiple_of(k_half + g * group_size, group_size)
-        d_hi = jax.lax.dot_general(
-            x_ref[:, pl.ds(off_hi, group_size)].astype(compute_dtype), vhi,
-            dims, preferred_element_type=jnp.float32, precision=prec,
-        )
-        acc += (0.0625 * s_ref[0, gh, 0, :])[None, :] * d_hi
-        return acc
+        s = s_ref[0, gh, 0, :][:, None].astype(compute_dtype)
+        zp = z_ref[0, gh, 0, :][:, None].astype(compute_dtype)
+        wd_ref[:, pl.ds(off, group_size)] = (s * 0.0625) * vhi + s * (8.0 - zp)
+        return carry
 
-    acc = jax.lax.fori_loop(
-        0, n_groups_half, body,
-        jnp.zeros((x_ref.shape[0], o_ref.shape[1]), jnp.float32),
+    jax.lax.fori_loop(0, n_groups_half, body_hi, 0, unroll=False)
+    acc += jax.lax.dot_general(
+        x_ref[:, k_half:].astype(compute_dtype), wd_ref[:],
+        dims, preferred_element_type=jnp.float32, precision=prec,
     )
     o_ref[:] = acc.astype(o_ref.dtype)
 
@@ -699,6 +709,7 @@ def _grouped_pg_padded(
         out_specs=pl.BlockSpec(
             (tile_m, tile_n), lambda *a: (mi(*a), ni(*a)), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=[pltpu.VMEM((tile_n, k_half), compute_dtype)],
     )
     return pl.pallas_call(
         kernel,

@@ -345,24 +345,38 @@ def quantized_linear(x, qt: QuantizedTensor, **kw):
 # ---------------------------------------------------------------------------
 #
 # Production INT4 uses finer-than-row scales: one (scale, zp) per contiguous
-# `group_size` input columns of each row. The scale now varies along the
+# `group_size` input columns of each row. The scale varies along the
 # *contraction* dimension, so it cannot be applied after one big dot.
-# Instead the kernel runs one MXU dot per (half, group) pair and applies that
-# group's per-row scale to the [TM, TN] partial in f32 — keeping the math as
-# exact as the per_row kernel (zp subtract pre-dot, scale post-dot):
 #
-#   y = sum_g s[:, g] * ( x_g @ (q_g - zp[:, g])^T )
+# Round-2 shipped the obvious structure — one MXU dot per (half, group) with
+# the group's scale applied to the [TM, TN] f32 partial — and it measured
+# 1.6-2.6x slower than per_row: 2*G skinny dots (contraction = group_size)
+# serialize the MXU, and 2*G broadcast-rescale passes over the accumulator
+# serialize the VPU. Round 3 restructures: a fori_loop AFFINE-DEQUANTIZES
+# each group slice into a VMEM scratch weight tile,
+#
+#   wd[:, g] = s_g * q_g - (s_g * zp_g)          (two [TN,1]-broadcast VPU
+#   wd_hi[:, g] = (s_g/16) * vhi_g + s_g*(8-zp_g)  ops per group slice)
+#
+# then runs ONE fat full-K/2 MXU dot per half — identical DMA and MXU shape
+# to the per_row kernel. Numerics match "dequantize to compute_dtype, then
+# matmul" exactly (the golden-reference formulation); in f32 compute it is
+# bit-comparable to the round-2 kernel.
 #
 # Constraints: group_size % 128 == 0 (static lane slices) and
 # group_size | K/2 (groups never straddle the planar lo/hi halves).
+# Scales/zps arrive LANE-MAJOR as [G, 1, TN] — a [G, TN, 1] layout puts a
+# size-1 dim in the lane position and pads it to 128 lanes (observed: a
+# 5.9 GB VMEM window request at N=11264, the NOTES_r2 truth-#6 failure).
 
 
 def _int4_group_kernel(
     x_ref,        # [TM, K]
     w_ref,        # [TN, K/2] u8 planar (single k-tile)
-    s_ref,        # [G, TN, 1] f32 (pre-columnized: no in-kernel transposes)
-    z_ref,        # [G, TN, 1] f32
+    s_ref,        # [G, 1, TN] f32 (lane-major)
+    z_ref,        # [G, 1, TN] f32
     o_ref,        # [TM, TN]
+    wd_ref,       # [TN, K/2] compute_dtype scratch — dequantized half-tile
     *,
     k_half: int,
     group_size: int,
@@ -375,32 +389,39 @@ def _int4_group_kernel(
     )
     dims = (((1,), (1,)), ((), ()))
     n_groups_half = k_half // group_size
-    acc = jnp.zeros((x_ref.shape[0], o_ref.shape[1]), jnp.float32)
-    for g in range(n_groups_half):
-        sl = slice(g * group_size, (g + 1) * group_size)
-        # Unpack one group at a time — whole-tile f32 temporaries would
-        # overrun the 16MB VMEM at production tile sizes.
-        p_g = w_ref[:, sl]
-        zp_lo = z_ref[g, :, :].astype(compute_dtype)  # [TN, 1]
-        qlo = (p_g & 0x0F).astype(jnp.int8).astype(compute_dtype) - zp_lo
-        x_lo = x_ref[:, sl].astype(compute_dtype)
-        d_lo = jax.lax.dot_general(
-            x_lo, qlo, dims, preferred_element_type=jnp.float32, precision=prec
-        )
-        acc += s_ref[g, :, 0][None, :] * d_lo
 
-        gh = n_groups_half + g  # group index of the hi-half twin columns
-        zp_hi = z_ref[gh, :, :].astype(compute_dtype)  # [TN, 1]
-        # vhi = 16*(q_hi - 8)  ->  q_hi - zp = vhi/16 + (8 - zp)
-        vhi = pltpu.bitcast(p_g & 0xF0, jnp.int8).astype(compute_dtype) - 16.0 * (
-            zp_hi - 8.0
-        )
-        x_hi = x_ref[:, k_half + g * group_size : k_half + (g + 1) * group_size]
-        d_hi = jax.lax.dot_general(
-            x_hi.astype(compute_dtype), vhi, dims,
-            preferred_element_type=jnp.float32, precision=prec,
-        )
-        acc += (0.0625 * s_ref[gh, :, 0])[None, :] * d_hi
+    def body_lo(g, carry):
+        off = pl.multiple_of(g * group_size, 128)
+        p_g = w_ref[:, pl.ds(off, group_size)]
+        q = (p_g & 0x0F).astype(jnp.int8).astype(compute_dtype)
+        s = s_ref[g, 0, :][:, None].astype(compute_dtype)   # [TN, 1]
+        zp = z_ref[g, 0, :][:, None].astype(compute_dtype)
+        wd_ref[:, pl.ds(off, group_size)] = s * q - s * zp
+        return carry
+
+    jax.lax.fori_loop(0, n_groups_half, body_lo, 0, unroll=False)
+    acc = jax.lax.dot_general(
+        x_ref[:, :k_half].astype(compute_dtype), wd_ref[:],
+        dims, preferred_element_type=jnp.float32, precision=prec,
+    )
+
+    def body_hi(g, carry):
+        off = pl.multiple_of(g * group_size, 128)
+        p_g = w_ref[:, pl.ds(off, group_size)]
+        # vhi = 16*(q_hi - 8) from the planar XOR-8 byte; the affine map
+        # s*(q - zp) = (s/16)*vhi + s*(8 - zp)
+        vhi = pltpu.bitcast(p_g & 0xF0, jnp.int8).astype(compute_dtype)
+        gh = n_groups_half + g
+        s = s_ref[gh, 0, :][:, None].astype(compute_dtype)
+        zp = z_ref[gh, 0, :][:, None].astype(compute_dtype)
+        wd_ref[:, pl.ds(off, group_size)] = (s * 0.0625) * vhi + s * (8.0 - zp)
+        return carry
+
+    jax.lax.fori_loop(0, n_groups_half, body_hi, 0, unroll=False)
+    acc += jax.lax.dot_general(
+        x_ref[:, k_half:].astype(compute_dtype), wd_ref[:],
+        dims, preferred_element_type=jnp.float32, precision=prec,
+    )
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
@@ -428,18 +449,23 @@ def _int4_group_padded(
         in_specs=[
             pl.BlockSpec((tile_m, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, k_half), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, tile_n, 1), lambda i, j: (0, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, tile_n, 1), lambda i, j: (0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 1, tile_n), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 1, tile_n), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (tile_m, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tile_n, k_half), compute_dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
-    )(x, packed, scales.T[:, :, None], zps.T[:, :, None])
+    )(
+        x, packed,
+        scales.T[:, None, :],  # [N, G] -> [G, 1, N] lane-major
+        zps.T[:, None, :],
+    )
 
 
 def int4_matmul_per_group(

@@ -321,10 +321,13 @@ class ServingEngine:
         self._free.append(slot)
 
     def step(self) -> int:
-        """Admit queued requests, run one decode step; returns #active."""
+        """Admit queued requests, decode `decode_block` tokens for every
+        active slot in one compiled dispatch; returns #active."""
         self._admit()
         if not self.active:
             return 0
+        if self.decode_block > 1:
+            return self._step_block()
         active_mask = np.zeros((self.num_slots,), bool)
         for s in self.active:
             active_mask[s] = True
@@ -343,6 +346,40 @@ class ServingEngine:
             self._cur[slot] = tok
             self._remaining[slot] -= 1
             if self._remaining[slot] <= 0 or tok == req.eos_token:
+                self._retire(slot)
+        return len(self.active)
+
+    def _step_block(self) -> int:
+        """One dispatch of the fused `decode_block`-step program."""
+        d = self.decode_block
+        active_mask = np.zeros((self.num_slots,), bool)
+        eos = np.full((self.num_slots,), -1, np.int32)
+        for s, req in self.active.items():
+            active_mask[s] = True
+            if req.eos_token is not None:
+                eos[s] = req.eos_token
+        self._key, sub = jax.random.split(self._key)
+        (self.caches, cur, pos, remaining, active, toks, acts) = self._decode_blk(
+            self.model, self.caches,
+            jnp.asarray(self._cur), jnp.asarray(self._pos),
+            jnp.asarray(self._remaining), jnp.asarray(eos),
+            sub, jnp.asarray(active_mask),
+        )
+        toks = np.asarray(toks)          # [D, B]
+        acts = np.asarray(acts)          # [D, B] bool: was active at step d
+        # np.array (copy): np.asarray of a device array is READ-ONLY and
+        # _admit mutates these in place
+        self._cur = np.array(cur, np.int32)
+        self._pos = np.array(pos, np.int32)
+        self._remaining = np.array(remaining, np.int32)
+        final_active = np.asarray(active)
+        for slot in list(self.active):
+            req = self.active[slot]
+            gen = self.generated[req.uid]
+            for step_d in range(d):
+                if acts[step_d, slot]:
+                    gen.append(int(toks[step_d, slot]))
+            if not final_active[slot]:
                 self._retire(slot)
         return len(self.active)
 

@@ -177,6 +177,52 @@ class TestEngine:
         # agreement on the first token only (deterministic greedy)
         assert out[0] == base[0]
 
+    def test_decode_block_lengths_and_content(self, setup):
+        """decode_block>1 fuses D steps into one dispatch; request accounting
+        (token counts, first token) must match the single-step engine. Full
+        greedy-chain equality is not required across separately compiled
+        programs (~1 ULP divergence, see test_matches_plain_decode)."""
+        cfg, model = setup
+        prompts = {0: [1, 2, 3], 1: [9, 8], 2: [4]}
+        eng1 = make_engine(cfg, model)
+        engd = make_engine(cfg, model, decode_block=4)
+        for uid, p in prompts.items():
+            eng1.submit(GenerationRequest(uid=uid, prompt=p, max_new_tokens=6))
+            engd.submit(GenerationRequest(uid=uid, prompt=p, max_new_tokens=6))
+        out1, outd = eng1.run(), engd.run()
+        assert set(outd) == set(out1)
+        for uid in prompts:
+            assert len(outd[uid]) == len(out1[uid]) == 6
+            assert outd[uid][0] == out1[uid][0]  # prefill program is shared
+
+    def test_decode_block_eos_stops_early(self, setup):
+        cfg, model = setup
+        eng = make_engine(cfg, model, decode_block=4)
+        eng.submit(GenerationRequest(uid=0, prompt=[1, 2], max_new_tokens=8))
+        first_tokens = eng.run()[0]
+        eos = first_tokens[1]  # second generated token (mid-block)
+        eng2 = make_engine(cfg, model, decode_block=4)
+        eng2.submit(GenerationRequest(uid=1, prompt=[1, 2], max_new_tokens=8,
+                                      eos_token=eos))
+        out = eng2.run()
+        assert out[1][-1] == eos
+        assert len(out[1]) < 8
+        assert eos not in out[1][:-1]
+
+    def test_decode_block_slot_reuse_isolation(self, setup):
+        """Mid-block retirement + slot reuse: the next request in the same
+        slot must see a clean cache (block path self-consistency)."""
+        cfg, model = setup
+        prompt = [3, 4, 5]
+        eng = make_engine(cfg, model, num_slots=1, decode_block=3)
+        eng.submit(GenerationRequest(uid=0, prompt=[9, 9, 9, 9], max_new_tokens=5))
+        eng.submit(GenerationRequest(uid=1, prompt=prompt, max_new_tokens=4))
+        out = eng.run()
+        eng2 = make_engine(cfg, model, num_slots=1, decode_block=3)
+        eng2.submit(GenerationRequest(uid=2, prompt=prompt, max_new_tokens=4))
+        out2 = eng2.run()
+        assert out[1] == out2[2]
+
     def test_overlong_prompt_raises(self, setup):
         cfg, model = setup
         eng = make_engine(cfg, model, max_seq=16, prefill_bucket=8)
