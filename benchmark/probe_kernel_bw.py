@@ -263,9 +263,14 @@ def main():
     for name, (step, pairs) in measures.items():
         if only and name not in only:
             continue
-        t = time_chain_slope(
-            step, x, pairs, p_small=1, p_large=len(pairs), iters=args.iters
-        )
+        try:
+            t = time_chain_slope(
+                step, x, pairs, p_small=1, p_large=len(pairs), iters=args.iters
+            )
+        except Exception as err:  # keep other measures on a per-impl failure
+            results[name] = {"error": str(err)[:300]}
+            print(f"{name:<12} FAILED: {str(err)[:160]}")
+            continue
         gbps = pair_bytes[name] / t / 1e9
         results[name] = {"ms_per_pair": round(t * 1e3, 4),
                          "weight_gbps": round(gbps, 1)}

@@ -595,65 +595,56 @@ def _grouped_pg_kernel(
     gid_ref,      # [num_tiles] i32 (scalar prefetch)
     x_ref,        # [TM, K]
     w_ref,        # [1, TN, K/2] u8 planar
-    s_ref,        # [1, G, 1, TN] f32 — TN in the LANE dim: a [.., TN, 1]
-    z_ref,        # [1, G, 1, TN]       layout pads the trailing 1 to 128
-                  #                     lanes (measured 34 MB VMEM -> OOM)
+    slo_ref,      # [1, TN, Gh] f32 — this expert's lo-half scales
+    zlo_ref,      # [1, TN, Gh] f32 — lo-half zero-points (integer-valued)
+    shi_ref,      # [1, TN, Gh] f32 — hi-half scales
+    zhi_ref,      # [1, TN, Gh] f32 — hi-half zero-points
+    e_ref,        # [Gh, K/2] f32 — 0/1 group->column selection matrix
     o_ref,        # [TM, TN]
-    wd_ref,       # [TN, K/2] compute_dtype scratch — dequantized half-tile
     *,
     k_half: int,
-    group_size: int,
     compute_dtype,
 ):
-    # fori_loop over K-groups (NOT a Python unroll: the 16x-unrolled body
-    # crashes the remote Mosaic compiler at tile_m >= 32 and compiles for
-    # tens of minutes otherwise; a grid dimension per group has ~25 us/step
-    # fixed cost — 4480 steps = 119 ms measured.)
-    #
-    # Round-3 structure (same as ops.int4_matmul._int4_group_kernel): the
-    # loop AFFINE-DEQUANTIZES each group slice into the wd scratch tile —
-    # two [TN,1]-broadcast VPU ops per slice — then ONE fat full-K/2 MXU dot
-    # per half. The round-2 body ran 2*G skinny dots (contraction =
-    # group_size) plus 2*G accumulator rescales, measuring 1.6-2.6x slower
-    # than per_row; this form has the per_row kernel's DMA and MXU shape.
+    # Round-3 structure (same as ops.int4_matmul._int4_group_kernel, see the
+    # design comment there): per-group scales are expanded to per-column
+    # affine coefficient matrices ON THE MXU via the constant 0/1 selection
+    # matrix (exact: one nonzero product per output element), the weight
+    # tile is dequantized with fully static elementwise ops, and ONE fat
+    # full-K/2 dot per half does the matmul — the per_row kernel's DMA and
+    # MXU shape. The round-2 body (2*G skinny dots + 2*G accumulator
+    # rescales) measured 1.6-2.6x slower than per_row; a fori_loop writing
+    # a dequant scratch via dynamic lane offsets cost ~45 stack bytes per
+    # scratch element in Mosaic and OOM'd scoped VMEM.
+    cd = compute_dtype
     prec = (
-        jax.lax.Precision.HIGHEST
-        if compute_dtype == jnp.float32
+        jax.lax.Precision.HIGHEST if cd == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
+    edims = (((1,), (0,)), ((), ()))
+    e = e_ref[...].astype(cd)
+
+    def expand(ref):
+        return jax.lax.dot_general(
+            ref[0].astype(cd), e, edims, preferred_element_type=jnp.float32
+        ).astype(cd)
+
+    a_lo, z_lo = expand(slo_ref), expand(zlo_ref)
+    a_hi, z_hi = expand(shi_ref), expand(zhi_ref)
+
+    p = w_ref[0]
+    q_lo = (p & 0x0F).astype(jnp.int8).astype(cd)
+    vhi = pltpu.bitcast(p & 0xF0, jnp.int8).astype(cd)  # 16*(q_hi - 8)
+    wd_lo = a_lo * (q_lo - z_lo)                  # (q - zp) exact in cd
+    wd_hi = a_hi * (vhi * 0.0625 + (8.0 - z_hi))  # 1/16-multiples: exact
+
     dims = (((1,), (1,)), ((), ()))
-    n_groups_half = k_half // group_size
-
-    def body_lo(g, carry):
-        off = pl.multiple_of(g * group_size, 128)
-        p_g = w_ref[0, :, pl.ds(off, group_size)]
-        q = (p_g & 0x0F).astype(jnp.int8).astype(compute_dtype)
-        s = s_ref[0, g, 0, :][:, None].astype(compute_dtype)   # [TN, 1]
-        zp = z_ref[0, g, 0, :][:, None].astype(compute_dtype)
-        wd_ref[:, pl.ds(off, group_size)] = s * q - s * zp
-        return carry
-
-    jax.lax.fori_loop(0, n_groups_half, body_lo, 0, unroll=False)
     acc = jax.lax.dot_general(
-        x_ref[:, :k_half].astype(compute_dtype), wd_ref[:],
-        dims, preferred_element_type=jnp.float32, precision=prec,
+        x_ref[:, :k_half].astype(cd), wd_lo, dims,
+        preferred_element_type=jnp.float32, precision=prec,
     )
-
-    def body_hi(g, carry):
-        off = pl.multiple_of(g * group_size, 128)
-        p_g = w_ref[0, :, pl.ds(off, group_size)]
-        # vhi = 16*(q_hi - 8); s*(q - zp) = (s/16)*vhi + s*(8 - zp)
-        vhi = pltpu.bitcast(p_g & 0xF0, jnp.int8).astype(compute_dtype)
-        gh = n_groups_half + g
-        s = s_ref[0, gh, 0, :][:, None].astype(compute_dtype)
-        zp = z_ref[0, gh, 0, :][:, None].astype(compute_dtype)
-        wd_ref[:, pl.ds(off, group_size)] = (s * 0.0625) * vhi + s * (8.0 - zp)
-        return carry
-
-    jax.lax.fori_loop(0, n_groups_half, body_hi, 0, unroll=False)
     acc += jax.lax.dot_general(
-        x_ref[:, k_half:].astype(compute_dtype), wd_ref[:],
-        dims, preferred_element_type=jnp.float32, precision=prec,
+        x_ref[:, k_half:].astype(cd), wd_hi, dims,
+        preferred_element_type=jnp.float32, precision=prec,
     )
     o_ref[:] = acc.astype(o_ref.dtype)
 
@@ -666,16 +657,20 @@ def _grouped_pg_kernel(
     ),
 )
 def _grouped_pg_padded(
-    x_sorted, tile_group_ids, packed, scales_t, zps_t,
+    x_sorted, tile_group_ids, packed, scales, zps,
     *, tile_m, tile_n, group_size, compute_dtype, out_dtype, interpret, m_inner,
 ):
+    from .int4_matmul import _pg_scale_operands
+
     t_pad, k = x_sorted.shape
     e, n, k_half = packed.shape
-    g_total = scales_t.shape[1]
+    slo, zlo, shi, zhi, eye = _pg_scale_operands(
+        scales, zps, k_half, group_size
+    )  # each [E, N, Gh]; eye [Gh, K/2]
+    gh = slo.shape[-1]
     num_tiles = t_pad // tile_m
     kernel = functools.partial(
-        _grouped_pg_kernel,
-        k_half=k_half, group_size=group_size, compute_dtype=compute_dtype,
+        _grouped_pg_kernel, k_half=k_half, compute_dtype=compute_dtype
     )
     if m_inner:
         grid = (n // tile_n, num_tiles)
@@ -685,6 +680,14 @@ def _grouped_pg_padded(
         grid = (num_tiles, n // tile_n)
         mi = lambda i, j, g: i  # noqa: E731
         ni = lambda i, j, g: j  # noqa: E731
+
+    def sblk():
+        return pl.BlockSpec(
+            (1, tile_n, gh),
+            lambda *a: (a[-1][mi(*a)], ni(*a), 0),
+            memory_space=pltpu.VMEM,
+        )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -695,28 +698,19 @@ def _grouped_pg_padded(
                 lambda *a: (a[-1][mi(*a)], ni(*a), 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, g_total, 1, tile_n),
-                lambda *a: (a[-1][mi(*a)], 0, 0, ni(*a)),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, g_total, 1, tile_n),
-                lambda *a: (a[-1][mi(*a)], 0, 0, ni(*a)),
-                memory_space=pltpu.VMEM,
-            ),
+            sblk(), sblk(), sblk(), sblk(),
+            pl.BlockSpec((gh, k_half), lambda *a: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (tile_m, tile_n), lambda *a: (mi(*a), ni(*a)), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.VMEM((tile_n, k_half), compute_dtype)],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t_pad, n), out_dtype),
         interpret=interpret,
-    )(tile_group_ids, x_sorted, packed, scales_t, zps_t)
+    )(tile_group_ids, x_sorted, packed, slo, zlo, shi, zhi, eye)
 
 
 def grouped_int4_matmul_per_group(
@@ -763,16 +757,13 @@ def grouped_int4_matmul_per_group(
         packed = jnp.pad(packed, ((0, 0), (0, n_pad - n), (0, 0)))
         scales = jnp.pad(scales, ((0, 0), (0, n_pad - n), (0, 0)))
         zps = jnp.pad(zps, ((0, 0), (0, n_pad - n), (0, 0)))
-    # lane-major layout [E, G, 1, N]: N must sit in the lane dim (a
-    # trailing size-1 dim would pad to 128 lanes and blow scoped VMEM)
-    scales_t = jnp.swapaxes(scales, 1, 2)[:, :, None, :].astype(jnp.float32)
-    zps_t = jnp.swapaxes(zps, 1, 2)[:, :, None, :].astype(jnp.float32)
 
     x_bytes_per_nsweep = t_pad * k * x_sorted.dtype.itemsize
     m_inner = x_bytes_per_nsweep * (n_pad // tn) <= qt.packed.size
 
     out = _grouped_pg_padded(
-        x_sorted, tile_group_ids.astype(jnp.int32), packed, scales_t, zps_t,
+        x_sorted, tile_group_ids.astype(jnp.int32), packed,
+        scales.astype(jnp.float32), zps.astype(jnp.float32),
         tile_m=tile_m, tile_n=tn, group_size=gs,
         compute_dtype=compute_dtype, out_dtype=out_dtype, interpret=interpret,
         m_inner=m_inner,

@@ -352,77 +352,90 @@ def quantized_linear(x, qt: QuantizedTensor, **kw):
 # the group's scale applied to the [TM, TN] f32 partial — and it measured
 # 1.6-2.6x slower than per_row: 2*G skinny dots (contraction = group_size)
 # serialize the MXU, and 2*G broadcast-rescale passes over the accumulator
-# serialize the VPU. Round 3 restructures: a fori_loop AFFINE-DEQUANTIZES
-# each group slice into a VMEM scratch weight tile,
+# serialize the VPU. (A fori_loop that affine-dequantizes group slices into
+# a VMEM scratch tile was tried next; its dynamic lane-offset scratch WRITES
+# made Mosaic allocate ~45 bytes of stack per scratch element — 92 MB at
+# tile_n=512 — so it never fit either.)
 #
-#   wd[:, g] = s_g * q_g - (s_g * zp_g)          (two [TN,1]-broadcast VPU
-#   wd_hi[:, g] = (s_g/16) * vhi_g + s_g*(8-zp_g)  ops per group slice)
+# Round-3 structure — fully static, no scratch, no dynamic offsets: expand
+# the per-(row, group) scales to per-(row, column) matrices ON THE MXU with
+# a constant 0/1 selection matrix E[g, c] = (c // group_size == g):
 #
-# then runs ONE fat full-K/2 MXU dot per half — identical DMA and MXU shape
-# to the per_row kernel. Numerics match "dequantize to compute_dtype, then
-# matmul" exactly (the golden-reference formulation); in f32 compute it is
-# bit-comparable to the round-2 kernel.
+#   A   = s_blk  @ E     (each output element selects exactly one scale ->
+#   Z   = zp_blk @ E      the dot is EXACT: one nonzero product per column)
+#   wd_lo = A_lo * (q_lo - Z_lo)
+#   wd_hi = A_hi * (vhi/16 + (8 - Z_hi))        == s * (q_hi - zp)
+#
+# then ONE fat full-K/2 MXU dot per half — identical DMA and MXU shape to
+# the per_row kernel; the expansions are [TN, G/2] x [G/2, K/2] flyweights.
+# (q - zp) and (vhi/16 + 8 - zp) are exact in bfloat16 (integers / 1/16
+# multiples within +-15), so the dequant rounds ONCE — an `A*q - (A*zp)`
+# form rounds twice with cancellation and measured ~3% per-weight error.
+# Numerics match "dequantize to compute_dtype, then matmul" (the golden-
+# reference formulation).
 #
 # Constraints: group_size % 128 == 0 (static lane slices) and
 # group_size | K/2 (groups never straddle the planar lo/hi halves).
-# Scales/zps arrive LANE-MAJOR as [G, 1, TN] — a [G, TN, 1] layout puts a
-# size-1 dim in the lane position and pads it to 128 lanes (observed: a
-# 5.9 GB VMEM window request at N=11264, the NOTES_r2 truth-#6 failure).
 
 
 def _int4_group_kernel(
     x_ref,        # [TM, K]
     w_ref,        # [TN, K/2] u8 planar (single k-tile)
-    s_ref,        # [G, 1, TN] f32 (lane-major)
-    z_ref,        # [G, 1, TN] f32
+    slo_ref,      # [TN, Gh] f32 — lo-half scales
+    zlo_ref,      # [TN, Gh] f32 — lo-half zero-points (integer-valued)
+    shi_ref,      # [TN, Gh] f32 — hi-half scales
+    zhi_ref,      # [TN, Gh] f32 — hi-half zero-points
+    e_ref,        # [Gh, K/2] f32 — 0/1 group->column selection matrix
     o_ref,        # [TM, TN]
-    wd_ref,       # [TN, K/2] compute_dtype scratch — dequantized half-tile
     *,
     k_half: int,
-    group_size: int,
     compute_dtype,
 ):
+    cd = compute_dtype
     prec = (
-        jax.lax.Precision.HIGHEST
-        if compute_dtype == jnp.float32
+        jax.lax.Precision.HIGHEST if cd == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
+    edims = (((1,), (0,)), ((), ()))
+    e = e_ref[...].astype(cd)
+
+    def expand(ref):
+        return jax.lax.dot_general(
+            ref[...].astype(cd), e, edims, preferred_element_type=jnp.float32
+        ).astype(cd)
+
+    a_lo, z_lo = expand(slo_ref), expand(zlo_ref)
+    a_hi, z_hi = expand(shi_ref), expand(zhi_ref)
+
+    p = w_ref[...]
+    q_lo = (p & 0x0F).astype(jnp.int8).astype(cd)
+    vhi = pltpu.bitcast(p & 0xF0, jnp.int8).astype(cd)  # 16*(q_hi - 8)
+    wd_lo = a_lo * (q_lo - z_lo)                 # (q - zp) exact in cd
+    wd_hi = a_hi * (vhi * 0.0625 + (8.0 - z_hi))  # 1/16-multiples: exact
+
     dims = (((1,), (1,)), ((), ()))
-    n_groups_half = k_half // group_size
-
-    def body_lo(g, carry):
-        off = pl.multiple_of(g * group_size, 128)
-        p_g = w_ref[:, pl.ds(off, group_size)]
-        q = (p_g & 0x0F).astype(jnp.int8).astype(compute_dtype)
-        s = s_ref[g, 0, :][:, None].astype(compute_dtype)   # [TN, 1]
-        zp = z_ref[g, 0, :][:, None].astype(compute_dtype)
-        wd_ref[:, pl.ds(off, group_size)] = s * q - s * zp
-        return carry
-
-    jax.lax.fori_loop(0, n_groups_half, body_lo, 0, unroll=False)
     acc = jax.lax.dot_general(
-        x_ref[:, :k_half].astype(compute_dtype), wd_ref[:],
-        dims, preferred_element_type=jnp.float32, precision=prec,
+        x_ref[:, :k_half].astype(cd), wd_lo, dims,
+        preferred_element_type=jnp.float32, precision=prec,
     )
-
-    def body_hi(g, carry):
-        off = pl.multiple_of(g * group_size, 128)
-        p_g = w_ref[:, pl.ds(off, group_size)]
-        # vhi = 16*(q_hi - 8) from the planar XOR-8 byte; the affine map
-        # s*(q - zp) = (s/16)*vhi + s*(8 - zp)
-        vhi = pltpu.bitcast(p_g & 0xF0, jnp.int8).astype(compute_dtype)
-        gh = n_groups_half + g
-        s = s_ref[gh, 0, :][:, None].astype(compute_dtype)
-        zp = z_ref[gh, 0, :][:, None].astype(compute_dtype)
-        wd_ref[:, pl.ds(off, group_size)] = (s * 0.0625) * vhi + s * (8.0 - zp)
-        return carry
-
-    jax.lax.fori_loop(0, n_groups_half, body_hi, 0, unroll=False)
     acc += jax.lax.dot_general(
-        x_ref[:, k_half:].astype(compute_dtype), wd_ref[:],
-        dims, preferred_element_type=jnp.float32, precision=prec,
+        x_ref[:, k_half:].astype(cd), wd_hi, dims,
+        preferred_element_type=jnp.float32, precision=prec,
     )
-    o_ref[:] = acc.astype(o_ref.dtype)
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def _pg_scale_operands(scales, zps, k_half, group_size):
+    """Split per-group scale/zp [..., N, G] into lo/hi halves + the 0/1
+    group->column expansion matrix."""
+    gh = k_half // group_size
+    s = scales.astype(jnp.float32)
+    z = zps.astype(jnp.float32)
+    eye = (
+        jnp.arange(k_half, dtype=jnp.int32)[None, :] // group_size
+        == jnp.arange(gh, dtype=jnp.int32)[:, None]
+    ).astype(jnp.float32)
+    return s[..., :gh], z[..., :gh], s[..., gh:], z[..., gh:], eye
 
 
 @functools.partial(
@@ -437,11 +450,16 @@ def _int4_group_padded(
 ):
     m, k = x.shape
     n, k_half = packed.shape
-    g = scales.shape[0]
+    slo, zlo, shi, zhi, eye = _pg_scale_operands(
+        scales, zps, k_half, group_size
+    )
+    gh = slo.shape[-1]
     grid = (m // tile_m, n // tile_n)
     kernel = functools.partial(
-        _int4_group_kernel,
-        k_half=k_half, group_size=group_size, compute_dtype=compute_dtype,
+        _int4_group_kernel, k_half=k_half, compute_dtype=compute_dtype
+    )
+    sblk = lambda: pl.BlockSpec(  # noqa: E731
+        (tile_n, gh), lambda i, j: (j, 0), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         kernel,
@@ -449,23 +467,18 @@ def _int4_group_padded(
         in_specs=[
             pl.BlockSpec((tile_m, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, k_half), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, 1, tile_n), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, 1, tile_n), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM),
+            sblk(), sblk(), sblk(), sblk(),
+            pl.BlockSpec((gh, k_half), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (tile_m, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
-        scratch_shapes=[pltpu.VMEM((tile_n, k_half), compute_dtype)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(
-        x, packed,
-        scales.T[:, None, :],  # [N, G] -> [G, 1, N] lane-major
-        zps.T[:, None, :],
-    )
+    )(x, packed, slo, zlo, shi, zhi, eye)
 
 
 def int4_matmul_per_group(

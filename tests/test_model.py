@@ -207,6 +207,42 @@ class TestFusedDecodeAttention:
             atol=0.03, rtol=0.05,
         )
 
+    @pytest.mark.slow
+    @pytest.mark.parametrize("ctx", [512, 2048])
+    def test_long_context_error_ladder(self, rng, ctx):
+        """Kernel rel-err vs the f32 dequant-then-attend golden stays within
+        the repo ladder (<= 1e-2) as context grows (VERDICT r2 item 5: the
+        round-2 kernel drifted 1.1% -> 1.8% from ctx 4k -> 16k because the
+        PV zero-point correction used unrounded probabilities while the code
+        dot used bf16-rounded ones — error scaled ~sqrt(S))."""
+        from fused4bit_tpu.layers.kv_cache import QuantizedKVCache
+        from fused4bit_tpu.ops.decode_attention import int4_decode_attention
+
+        b, hkv, hq, d = 1, 1, 2, 64
+        cache = QuantizedKVCache.init(b, hkv, ctx, d)
+        k = jnp.asarray(rng.standard_normal((b, hkv, ctx, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, hkv, ctx, d)), jnp.float32)
+        cache = cache.append(k, v)
+        q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.bfloat16)
+
+        got = np.asarray(int4_decode_attention(q, cache), np.float32)
+
+        kd, vd = cache.dequantize(jnp.float32)  # f32 golden on the SAME cache
+        rep = hq // hkv
+        kd, vd = jnp.repeat(kd, rep, axis=1), jnp.repeat(vd, rep, axis=1)
+        scores = jnp.einsum(
+            "bhd,bhsd->bhs", q.astype(jnp.float32), kd,
+            precision=jax.lax.Precision.HIGHEST,
+        ) / jnp.sqrt(float(d))
+        probs = jax.nn.softmax(scores, axis=-1)
+        want = np.asarray(
+            jnp.einsum("bhs,bhsd->bhd", probs, vd,
+                       precision=jax.lax.Precision.HIGHEST),
+            np.float32,
+        )
+        rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+        assert rel <= 1e-2, f"ctx={ctx}: rel err {rel:.4f} exceeds ladder 1e-2"
+
     def test_per_row_lengths_masking(self, rng):
         """Rows with different lengths must mask independently."""
         from fused4bit_tpu.layers.kv_cache import QuantizedKVCache
