@@ -45,7 +45,8 @@ from ..ops.int4_matmul import int4_matmul
 from ..quant.core import QuantizedTensor
 
 __all__ = [
-    "moe_ep_replicated", "moe_ep_a2a", "moe_ep_a2a_dropless", "tp_int4_matmul"
+    "moe_ep_replicated", "moe_ep_a2a", "moe_ep_a2a_dropless", "moe_ep_ring",
+    "tp_int4_matmul",
 ]
 
 
@@ -401,6 +402,113 @@ def moe_ep_a2a_dropless(
         per_pair = y_back[inv].reshape(t_loc, top_k, -1)
         w = routing.expert_weights.astype(per_pair.dtype)[..., None]
         return jnp.sum(per_pair * w, axis=1)
+
+    specs_in = (
+        P(axis, None), P(axis, None),
+        P(axis, None, None), P(axis, None), P(axis, None),
+    )
+    return shard_map(
+        body, mesh=mesh, in_specs=specs_in, out_specs=P(axis, None),
+        check_vma=False,
+    )(x, router_logits, qt.packed, qt.scales, qt.zero_points)
+
+
+# ---------------------------------------------------------------------------
+# EP strategy 4: ring rotation with communication/compute OVERLAP
+# ---------------------------------------------------------------------------
+
+
+def moe_ep_ring(
+    x: jnp.ndarray,             # [T, H], sharded over the expert axis (dim 0)
+    router_logits: jnp.ndarray,  # [T, E], sharded likewise
+    qt: QuantizedTensor,        # stacked [E, N, K], sharded over axis 0
+    mesh: Mesh,
+    *,
+    top_k: int,
+    axis: str = "expert",
+    tile_m: int = 16,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Dropless EP MoE with a ring-pipelined exchange (comm/compute overlap).
+
+    The BASELINE north star asks for "all-to-all dispatch overlapped with
+    expert compute". A monolithic all_to_all is a barrier: nothing computes
+    while it flies. This strategy decomposes the exchange into D ring steps
+    (`ppermute` to the next device) and keeps compute inside the loop:
+
+      step i:   contrib  = my_experts(visiting block)      (grouped GEMM)
+                x_next   = ppermute(visiting block)        (ICI)
+                y_next   = ppermute(y_acc + contrib)       (ICI)
+
+    ``x_next``/routing forwarding carries NO data dependence on ``contrib``
+    — XLA's latency-hiding scheduler is free to start the ppermute while the
+    grouped GEMM runs, so the token-block transfer rides ICI behind compute;
+    only the (y_acc + contrib) return hop serializes. Every token block
+    visits all D devices and arrives home after D steps carrying the full
+    top-k sum — DROPLESS (per-device masked dispatch, no capacity buffers).
+
+    ICI bytes per device per layer: D * T_loc * (H*x_bytes + N*x_bytes + ~8)
+    — more x-traffic than the ragged a2a (which moves each pair once), in
+    exchange for overlap and zero routing-dependent buffer sizing. Prefer
+    this strategy when expert compute per step >= the per-hop transfer time
+    (large N/E_local), the a2a strategies otherwise.
+
+    Returns [T, N] sharded like x.
+    """
+    e = qt.shape[0]
+    n_dev = mesh.shape[axis]
+    e_local = e // n_dev
+    if e_local * n_dev != e:
+        raise ValueError(f"num_experts={e} not divisible by mesh axis {n_dev}")
+    n_out = qt.shape[1]
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    def body(xb, logits, packed, scales, zps):
+        t_loc, h = xb.shape
+        me = jax.lax.axis_index(axis)
+        lo = me * e_local
+        routing = topk_route(logits, top_k, e)
+        qt_loc = _qt_local(qt, packed, scales, zps, e_local)
+
+        def contrib(xblk, eidblk, wblk):
+            # replicated-strategy masking: foreign pairs -> local expert 0
+            # with weight 0 (their rows flow through the kernel, contribute
+            # nothing after weighting)
+            local_ids = eidblk - lo
+            mine = (local_ids >= 0) & (local_ids < e_local)
+            local_ids = jnp.where(mine, local_ids, 0).astype(jnp.int32)
+            w = jnp.where(mine, wblk, 0.0)
+            tpe = jnp.bincount(
+                local_ids.reshape(-1), length=e_local
+            ).astype(jnp.int32)
+            offsets = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(tpe)]
+            ).astype(jnp.int32)
+            rt = RoutingResult(local_ids, w, tpe, offsets)
+            plan = make_dispatch_plan(rt, e_local, tile_m=tile_m)
+            xs = dispatch(xblk, rt, plan)
+            y = grouped_int4_matmul(
+                xs, plan.tile_group_ids, qt_loc, tile_m=tile_m,
+                interpret=interpret,
+            )
+            return combine(y, rt, plan)  # [T_blk, N]
+
+        def step(_, carry):
+            xblk, eidblk, wblk, yblk = carry
+            c = contrib(xblk, eidblk, wblk)
+            # x/routing forwarding is independent of `c` -> overlappable
+            x_nxt = jax.lax.ppermute(xblk, axis, perm)
+            e_nxt = jax.lax.ppermute(eidblk, axis, perm)
+            w_nxt = jax.lax.ppermute(wblk, axis, perm)
+            y_nxt = jax.lax.ppermute(yblk + c.astype(yblk.dtype), axis, perm)
+            return (x_nxt, e_nxt, w_nxt, y_nxt)
+
+        y0 = jnp.zeros((t_loc, n_out), jnp.float32)
+        carry = (xb, routing.expert_indices, routing.expert_weights, y0)
+        carry = jax.lax.fori_loop(0, n_dev, step, carry)
+        # After D rotations the accumulator is home with every device's
+        # expert contributions summed.
+        return carry[3].astype(x.dtype)
 
     specs_in = (
         P(axis, None), P(axis, None),
