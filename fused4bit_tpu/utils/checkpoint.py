@@ -33,18 +33,32 @@ def save(path: str, tree: Any) -> None:
     ckpt.wait_until_finished()
 
 
-def load(path: str, template: Any) -> Any:
+def load(path: str, template: Any, shardings: Any = None) -> Any:
     """Restore a pytree checkpoint saved by :func:`save`.
 
     `template` supplies the pytree structure + static metadata (e.g. a model
     built with the same config; array values are ignored).
+
+    `shardings`: optional pytree of `jax.sharding.Sharding` matching
+    `template`'s structure — each restored array is materialized directly
+    with that sharding (the multi-chip restore path: save under one mesh,
+    restore under another, including a different data-parallel size; Orbax
+    reshards from the checkpoint layout).
     """
     path = os.path.abspath(os.path.expanduser(path))
     ckpt = _checkpointer()
-    abstract = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
-        if hasattr(a, "shape")
-        else a,
-        template,
-    )
+    if shardings is None:
+        abstract = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
+            if hasattr(a, "shape")
+            else a,
+            template,
+        )
+    else:
+        abstract = jax.tree.map(
+            lambda a, s: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=s)
+            if hasattr(a, "shape")
+            else a,
+            template, shardings,
+        )
     return ckpt.restore(path, abstract)
