@@ -224,8 +224,9 @@ def main(argv=None):
     p.add_argument("--repeats", type=int, default=4)
     p.add_argument("--tile-m", type=int, default=32,
                    help="decode-regime tile; 32 = int8 sublane so the w4a8 kernel shares the plan")
-    p.add_argument("--prefill-tile-m", type=int, default=64,
-                   help="tile_m when T*top_k > 512 (MXU efficiency)")
+    p.add_argument("--prefill-tile-m", type=int, default=128,
+                   help="tile_m when T*top_k > 512 (128 fills the MXU's "
+                        "systolic rows for the int8 path)")
     p.add_argument("--impls", nargs="*", default=None)
     p.add_argument("--slope", action="store_true",
                    help="TRUE per-op times via the two-point slope method "

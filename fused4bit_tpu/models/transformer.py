@@ -191,7 +191,10 @@ class MoEBlock:
     prefill_impl: str = dataclasses.field(
         metadata=dict(static=True), default="grouped"
     )
-    prefill_tile_m: int = dataclasses.field(metadata=dict(static=True), default=64)
+    # 128 rows fills the MXU's 128-row systolic dimension (64 halves int8
+    # throughput); per-expert padding waste stays < tile_m rows per expert,
+    # negligible beyond the prefill threshold.
+    prefill_tile_m: int = dataclasses.field(metadata=dict(static=True), default=128)
     capacity_factor: float = dataclasses.field(
         metadata=dict(static=True), default=2.0
     )

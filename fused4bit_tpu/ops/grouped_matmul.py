@@ -62,17 +62,39 @@ def _grouped_kernel(
     s_ref,        # [1, 1, TN] f32
     z_ref,        # [1, 1, TN] f32
     o_ref,        # [TM, TN]
-    *,
+    *scratch,     # (qlo_ref, vhi_ref) compute_dtype [TN, K/2] when caching
     k_half: int,
     compute_dtype,
     resident_tile_m: int = 0,
+    cache_unpack: bool = False,
 ):
-    p = w_ref[0]
-    zp_col = z_ref[0, 0, :][:, None].astype(compute_dtype)
-    qlo = (p & 0x0F).astype(jnp.int8).astype(compute_dtype) - zp_col
-    vhi = (p & 0xF0).astype(jnp.int8).astype(compute_dtype) - 16.0 * (
-        zp_col - 8.0
-    ).astype(compute_dtype)
+    def unpack():
+        p = w_ref[0]
+        zp_col = z_ref[0, 0, :][:, None].astype(compute_dtype)
+        qlo = (p & 0x0F).astype(jnp.int8).astype(compute_dtype) - zp_col
+        vhi = (p & 0xF0).astype(jnp.int8).astype(compute_dtype) - 16.0 * (
+            zp_col - 8.0
+        ).astype(compute_dtype)
+        return qlo, vhi
+
+    if cache_unpack:
+        # (n, m) grids revisit the same expert's weight block on consecutive
+        # m-tiles; the dequant VPU work is the dominant non-MXU cost at
+        # prefill. Recompute into VMEM scratch only on expert change.
+        qlo_ref, vhi_ref = scratch
+        i = pl.program_id(1)
+        changed = (i == 0) | (gid_ref[i] != gid_ref[jnp.maximum(i - 1, 0)])
+
+        @pl.when(changed)
+        def _refresh():
+            qlo_s, vhi_s = unpack()
+            qlo_ref[...] = qlo_s
+            vhi_ref[...] = vhi_s
+
+        qlo = qlo_ref[...]
+        vhi = vhi_ref[...]
+    else:
+        qlo, vhi = unpack()
 
     prec = (
         jax.lax.Precision.HIGHEST
@@ -122,9 +144,19 @@ def _grouped_padded(
     #   n_inner   — n-tiles innermost: x streams once, each m-tile re-streams
     #     its expert's weights.
     resident = mode == "x_resident"
+    cache_unpack = mode in ("m_inner", "x_resident")  # (n, m) grids only
     kernel = functools.partial(
         _grouped_kernel, k_half=k_half, compute_dtype=compute_dtype,
         resident_tile_m=tile_m if resident else 0,
+        cache_unpack=cache_unpack,
+    )
+    scratch_shapes = (
+        [
+            pltpu.VMEM((tile_n, k_half), compute_dtype),
+            pltpu.VMEM((tile_n, k_half), compute_dtype),
+        ]
+        if cache_unpack
+        else []
     )
 
     if mode == "n_inner":
@@ -171,6 +203,7 @@ def _grouped_padded(
             lambda *a: (mi(*a), ni(*a)),
             memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=scratch_shapes,
     )
 
     flops = 2 * t_pad * n * k
@@ -334,15 +367,19 @@ def _pick_mode_and_tile_n(t_pad, k, n_pad, e, x_itemsize, tile_m, tile_n, mode):
         return cands or [min(512, n_pad)]
 
     if mode is None:
-        # largest tile_n whose double-buffered weight tile + x tile fits
+        # largest tile_n whose double-buffered weight tile + x tile + the
+        # dequant-cache scratch (2 * TN * K/2 * compute itemsize) fits
         fits = [
             c for c in tn_candidates()
-            if 2 * c * k_half + 2 * tile_m * k * x_itemsize + 2 * tile_m * c * 4
+            if 2 * c * k_half * (1 + x_itemsize)
+            + 2 * tile_m * k * x_itemsize + 2 * tile_m * c * 4
             <= _VMEM_BUDGET
         ]
         tn_stream = fits[0] if fits else tn_candidates()[-1]
         resident_ok = (
-            x_bytes + 2 * tn_stream * k_half + 2 * tile_m * tn_stream * 4
+            x_bytes
+            + 2 * tn_stream * k_half * (1 + x_itemsize)
+            + 2 * tile_m * tn_stream * 4
             <= _VMEM_BUDGET
         )
         if resident_ok:
@@ -452,12 +489,34 @@ def _grouped_a8_kernel(
     s_ref,        # [1, 1, TN] f32
     z_ref,        # [1, 1, TN] f32
     o_ref,        # [TM, TN]
-    *,
+    *scratch,     # (lo_ref, vhi_ref) i8 [TN, K/2] when cache_unpack
     k_half: int,
+    cache_unpack: bool = False,
 ):
-    p = w_ref[0]
-    lo = (p & 0x0F).astype(jnp.int8)
-    vhi = pltpu.bitcast(p & 0xF0, jnp.int8)
+    if cache_unpack:
+        # m_inner grid (n outer, m inner): consecutive m-tiles usually map to
+        # the same expert, so the weight block — and its unpack — is
+        # redundant VPU work on every revisit. At prefill (T=2048 Mixtral)
+        # the unpack alone costs ~2 ms across the grid vs ~1.2 ms of int8
+        # MXU dots. Unpack into VMEM scratch only when the expert actually
+        # changes (or the n-tile sweep restarts); the DMA layer already
+        # skips the re-fetch when the block index repeats.
+        lo_ref, vhi_ref = scratch
+        i = pl.program_id(1)
+        changed = (i == 0) | (gid_ref[i] != gid_ref[jnp.maximum(i - 1, 0)])
+
+        @pl.when(changed)
+        def _unpack():
+            p = w_ref[0]
+            lo_ref[...] = pltpu.bitcast(p & 0x0F, jnp.int8)
+            vhi_ref[...] = pltpu.bitcast(p & 0xF0, jnp.int8)
+
+        lo = lo_ref[...]
+        vhi = vhi_ref[...]
+    else:
+        p = w_ref[0]
+        lo = (p & 0x0F).astype(jnp.int8)
+        vhi = pltpu.bitcast(p & 0xF0, jnp.int8)
 
     x_lo = xq_ref[:, :k_half]
     x_hi = xq_ref[:, k_half:]
@@ -485,7 +544,19 @@ def _grouped_a8_padded(
     t_pad, k = xq.shape
     e, n, k_half = packed.shape
     num_tiles = t_pad // tile_m
-    kernel = functools.partial(_grouped_a8_kernel, k_half=k_half)
+    # Scratch-cached unpack only helps when m is the inner dim (same-expert
+    # weight blocks revisited); n_inner changes the block every step.
+    kernel = functools.partial(
+        _grouped_a8_kernel, k_half=k_half, cache_unpack=m_inner
+    )
+    scratch_shapes = (
+        [
+            pltpu.VMEM((tile_n, k_half), jnp.int8),
+            pltpu.VMEM((tile_n, k_half), jnp.int8),
+        ]
+        if m_inner
+        else []
+    )
 
     if m_inner:
         grid = (n // tile_n, num_tiles)
@@ -521,6 +592,7 @@ def _grouped_a8_padded(
         out_specs=pl.BlockSpec(
             (tile_m, tile_n), lambda *a: (mi(*a), ni(*a)), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=scratch_shapes,
     )
     return pl.pallas_call(
         kernel,
@@ -565,7 +637,27 @@ def grouped_int4_matmul_a8(
     sx = jnp.clip(amax, min=1e-8) / 127.0
     xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
 
-    tn = tile_n or min(512, _round_up(n, 128))
+    # Pick tile_n minimizing m_inner HBM traffic under the VMEM budget:
+    # larger n-tiles cut the x re-stream factor (n_pad/tn) — at Mixtral
+    # prefill (T=2048) tn=512 re-streams x 28x (528 MB > the 235 MB weight
+    # stream) while tn=1024 pays 14x (264 MB); budget terms are the
+    # double-buffered weight block + the unpack scratch + x/out blocks.
+    k_half = k // 2
+    w_bytes = qt.packed.size
+    x_bytes = t_pad * k  # i8
+    if tile_n is None:
+        best = None
+        for c in (2048, 1024, 512, 256, 128):
+            n_pad_c = _round_up(n, c)
+            vmem = 4 * c * k_half + 2 * tile_m * k + 4 * tile_m * c
+            if vmem > _VMEM_BUDGET:
+                continue
+            traffic = w_bytes + x_bytes * (n_pad_c // c)
+            if best is None or traffic < best[0]:
+                best = (traffic, c)
+        tn = best[1] if best else min(512, _round_up(n, 128))
+    else:
+        tn = tile_n
     n_pad = _round_up(n, tn)
     packed, scales, zps = qt.packed, qt.scales, qt.zero_points
     if n_pad != n:
@@ -573,8 +665,12 @@ def grouped_int4_matmul_a8(
         scales = jnp.pad(scales, ((0, 0), (0, n_pad - n)))
         zps = jnp.pad(zps, ((0, 0), (0, n_pad - n)))
 
-    x_bytes_per_nsweep = t_pad * k  # i8
-    m_inner = x_bytes_per_nsweep * (n_pad // tn) <= qt.packed.size
+    # m_inner streams weights once (+ x per n-sweep); n_inner streams x once
+    # but re-streams each m-tile's expert weights.
+    m_inner = (
+        w_bytes + x_bytes * (n_pad // tn)
+        <= x_bytes + (t_pad // tile_m) * (w_bytes // e)
+    )
 
     out = _grouped_a8_padded(
         xq, sx.astype(jnp.float32), tile_group_ids.astype(jnp.int32), packed,

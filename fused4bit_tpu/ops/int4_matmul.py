@@ -427,15 +427,24 @@ def _int4_group_kernel(
 
 def _pg_scale_operands(scales, zps, k_half, group_size):
     """Split per-group scale/zp [..., N, G] into lo/hi halves + the 0/1
-    group->column expansion matrix."""
+    group->column expansion matrix.
+
+    The group-count dim is padded to a multiple of 8 (sublane alignment):
+    Mosaic 500s on expand-dots whose contraction dim is an odd size like 43
+    (= 5504/128, the flagship down-projection). Padded rows of E are all
+    zero, so they select nothing — the expansion stays exact."""
     gh = k_half // group_size
+    gh_pad = _round_up(gh, 8)
     s = scales.astype(jnp.float32)
     z = zps.astype(jnp.float32)
     eye = (
         jnp.arange(k_half, dtype=jnp.int32)[None, :] // group_size
-        == jnp.arange(gh, dtype=jnp.int32)[:, None]
+        == jnp.arange(gh_pad, dtype=jnp.int32)[:, None]
     ).astype(jnp.float32)
-    return s[..., :gh], z[..., :gh], s[..., gh:], z[..., gh:], eye
+    pad = [(0, 0)] * (s.ndim - 1) + [(0, gh_pad - gh)]
+    slo, zlo = jnp.pad(s[..., :gh], pad), jnp.pad(z[..., :gh], pad)
+    shi, zhi = jnp.pad(s[..., gh:], pad), jnp.pad(z[..., gh:], pad)
+    return slo, zlo, shi, zhi, eye
 
 
 @functools.partial(
