@@ -21,9 +21,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# 8 global devices regardless of process count (2 procs x 4, 4 procs x 2):
+# the mesh shapes below stay fixed while the process boundary moves.
+_NUM_PROCS = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
-    + " --xla_force_host_platform_device_count=4"
+    + f" --xla_force_host_platform_device_count={8 // _NUM_PROCS}"
 ).strip()
 
 import jax  # noqa: E402
@@ -118,9 +121,10 @@ def run_model(mesh_devices):
         globalize(positions, mesh, P("data", None)),
         interpret=True,
     )
-    # logits are data-sharded: this process owns its batch half
+    # logits are data-sharded over 2 mesh rows; num//2 processes share a row
     local = np.asarray(logits.addressable_data(0), np.float32)
-    lo = jax.process_index() * (b // 2)
+    row = jax.process_index() // max(jax.process_count() // 2, 1)
+    lo = row * (b // 2)
     np.testing.assert_allclose(
         local, want[lo : lo + b // 2], rtol=0.05, atol=0.05
     )
@@ -135,8 +139,8 @@ def main():
     assert initialize(coord, num, pid)
     assert is_multihost(), "process_count must be > 1"
     assert jax.process_count() == num
-    assert jax.device_count() == 4 * num, jax.device_count()
-    assert jax.local_device_count() == 4
+    assert jax.device_count() == 8, jax.device_count()
+    assert jax.local_device_count() == 8 // num
 
     devices = np.asarray(jax.devices())  # global, ordered by process
     if phase in ("ep", "all"):
