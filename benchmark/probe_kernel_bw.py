@@ -181,6 +181,79 @@ def build_pairs(k, n, num, *, pg=False, seed=0):
     return pairs
 
 
+def sweep_batches(args):
+    """Flagship linear artifact: per-batch true latency of a distinct
+    up(4096->11008)/down(11008->4096) pair chain — a real 2-layer FFN with
+    data dependence — for bf16 XLA vs the fused kernels. Per-PAIR ms stands
+    ~pairs x above the platform's fixed per-iteration cost, so the numbers
+    are not floor-compressed (reference shape `run_benchmark.py:54-58`)."""
+    k, n = args.k, args.n
+    qpairs = build_pairs(k, n, args.pairs)
+    bf16_pairs = [
+        (dequantize(u, dtype=jnp.bfloat16).T, dequantize(d, dtype=jnp.bfloat16).T)
+        for (u, d) in qpairs
+    ]
+    pair_bytes_u4 = (n * k // 2 + 8 * n) + (k * n // 2 + 8 * k)
+    pair_bytes_bf16 = 2 * k * n * 2
+
+    def bf16_step(y, ws):
+        wu, wd = ws
+        return jnp.dot(jnp.sin(jnp.dot(y, wu)), wd)
+
+    out = {}
+    for b in args.sweep_batch:
+        x = jax.random.normal(
+            jax.random.PRNGKey(9), (b, k), jnp.float32
+        ).astype(jnp.bfloat16)
+        row = {}
+        for name, step, pairs, pbytes in (
+            ("bf16", bf16_step, bf16_pairs, pair_bytes_bf16),
+            ("w4a16", mk_kernel_step_g(int4_matmul), qpairs, pair_bytes_u4),
+            ("w4a8", mk_kernel_step_g(int4_matmul_a8), qpairs, pair_bytes_u4),
+        ):
+            try:
+                t = time_chain_slope(
+                    step, x, pairs, p_small=1, p_large=len(pairs),
+                    iters=args.iters,
+                )
+                row[name] = {
+                    "ms_per_pair": round(t * 1e3, 4),
+                    "weight_gbps": round(pbytes / t / 1e9, 1),
+                }
+                print(f"b={b:<4} {name:<6} {t*1e3:8.4f} ms/pair "
+                      f"{pbytes/t/1e9:8.1f} GB/s")
+            except Exception as err:
+                row[name] = {"error": str(err)[:300]}
+                print(f"b={b:<4} {name:<6} FAILED {str(err)[:120]}")
+        if "bf16" in row and "ms_per_pair" in row.get("bf16", {}):
+            for kk in ("w4a16", "w4a8"):
+                if "ms_per_pair" in row.get(kk, {}):
+                    row[kk]["speedup_vs_bf16"] = round(
+                        row["bf16"]["ms_per_pair"] / row[kk]["ms_per_pair"], 3
+                    )
+        out[f"batch{b}"] = row
+        doc = {
+            "shape": {"k": k, "n": n},
+            "protocol": (
+                "time_chain_slope over DISTINCT up/down pairs (true 2-layer "
+                "FFN chain); per-pair ms = slope between 1-pair and "
+                f"{args.pairs}-pair chain steps, host-fetch barrier, median"
+            ),
+            "device": str(jax.devices()[0]),
+            "results": out,
+        }
+        with open(args.out, "w") as f:
+            json.dump(doc, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+def mk_kernel_step_g(call, **kw):
+    def step(y, ws):
+        qu, qd = ws
+        return call(jnp.sin(call(y, qu, **kw)), qd, **kw)
+    return step
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--m", type=int, default=32)
@@ -190,7 +263,17 @@ def main():
     ap.add_argument("--pairs", type=int, default=6)
     ap.add_argument("--out", default="benchmark/results/kernel_bw_probe.json")
     ap.add_argument("--only", default="", help="comma list of measure names")
+    ap.add_argument(
+        "--sweep-batch", type=int, nargs="*", default=None,
+        help="measure {xla_bf16, w4a16, w4a8} at each batch size under the "
+             "chained-pairs protocol and write the flagship linear batch-"
+             "sweep artifact (BASELINE configs[1]; replaces the floor-"
+             "dominated time_fn_slope sweep, VERDICT r2 item 2)",
+    )
     args = ap.parse_args()
+
+    if args.sweep_batch:
+        return sweep_batches(args)
 
     m, k, n = args.m, args.k, args.n
     x = jax.random.normal(jax.random.PRNGKey(9), (m, k), jnp.float32).astype(

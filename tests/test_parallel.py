@@ -31,6 +31,57 @@ def randw(rng, *shape):
     return jnp.asarray(rng.standard_normal(shape), dtype=jnp.float32)
 
 
+class TestPipeline:
+    """GPipe-style `stage` axis (SURVEY §2.5 PP row). Each stage applies an
+    INT4-quantized linear; the pipelined composition must match running the
+    stages sequentially on one device."""
+
+    def test_pipeline_matches_sequential(self, rng):
+        from fused4bit_tpu.parallel.pipeline import (
+            pipeline_stages, stack_stage_params,
+        )
+        from fused4bit_tpu.ops.int4_matmul import int4_matmul
+
+        S, M, MB, H = 4, 3, 8, 128
+        ws = [randw(rng, H, H) * (H ** -0.5) for _ in range(S)]
+        qts = [quantize(w, layout="planar") for w in ws]
+        params = stack_stage_params([
+            dict(packed=q.packed, scales=q.scales, zps=q.zero_points)
+            for q in qts
+        ])
+        x = jnp.asarray(
+            rng.standard_normal((M, MB, H)), jnp.float32
+        ).astype(jnp.bfloat16)
+
+        meta = qts[0]
+
+        def stage_fn(p, act):
+            from fused4bit_tpu.quant.core import QuantizedTensor
+            q = QuantizedTensor(
+                packed=p["packed"], scales=p["scales"],
+                zero_points=p["zps"], shape=meta.shape,
+                granularity=meta.granularity, layout=meta.layout,
+                block_k=meta.block_k, group_size=meta.group_size,
+                bits=meta.bits,
+            )
+            return jnp.tanh(int4_matmul(act, q, interpret=True))
+
+        mesh = make_mesh(("stage",), (4,), devices=jax.devices()[:4])
+        got = pipeline_stages(stage_fn, params, x, mesh)
+
+        want = x
+        for q in qts:
+            want = jnp.tanh(
+                int4_matmul(
+                    want.reshape(M * MB, H), q, interpret=True
+                ).reshape(M, MB, H)
+            )
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=2e-2, rtol=2e-2,
+        )
+
+
 class TestMesh:
     def test_best_mesh_shape(self):
         assert best_mesh_shape(8) == (2, 4)
