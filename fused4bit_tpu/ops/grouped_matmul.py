@@ -846,7 +846,11 @@ def grouped_int4_matmul_per_group(
     if out_dtype is None:
         out_dtype = x_sorted.dtype
 
-    tn = tile_n or min(512, _round_up(n, 128))
+    # same working-set cap as int4_matmul_per_group: ~6 [TN, K/2]
+    # temporaries; TN*K/2 beyond ~1e6 elements makes Mosaic spill VMEM and
+    # the remote compile pathological.
+    tn_cap = max(128, (1_050_000 // k_half) // 128 * 128)
+    tn = tile_n or min(512, tn_cap, _round_up(n, 128))
     n_pad = _round_up(n, tn)
     packed, scales, zps = qt.packed, qt.scales, qt.zero_points  # [E,N,G]
     if n_pad != n:

@@ -526,7 +526,12 @@ def int4_matmul_per_group(
     m_pad = max(_round_up(m, 8), 8)
     tile_m = m_pad if m_pad <= 256 else 256
     m_pad = _round_up(m_pad, tile_m)
-    tn = tile_n or min(512, _round_up(n, 128))
+    # The expansion design materializes ~6 [TN, K/2]-sized temporaries; keep
+    # TN*K/2 at or below the proven 512x2048 working set or Mosaic's VMEM
+    # spilling makes the remote compile pathological (>25 min observed at
+    # [512, 5504], the flagship down-projection).
+    tn_cap = max(128, (1_050_000 // k_half) // 128 * 128)
+    tn = tile_n or min(512, tn_cap, _round_up(n, 128))
     n_pad = _round_up(n, tn)
     if m_pad != m:
         x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
