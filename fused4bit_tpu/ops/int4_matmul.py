@@ -702,7 +702,11 @@ def int4_matmul_a8(
     m_pad = max(_round_up(m, 32), 32)  # i8 sublane tile is 32
     tile_m = m_pad if m_pad <= 256 else 256
     m_pad = _round_up(m_pad, tile_m)
-    tn = tile_n or min(1024, _round_up(n, 128))
+    # Cap the double-buffered weight block at ~8 MB so Mosaic keeps the
+    # DMA/compute pipeline: [1024, 5504] blocks (the flagship down
+    # projection) are 5.5 MB each and serialize when two don't fit.
+    tn_cap = max(128, (4_194_304 // (k // 2)) // 128 * 128)
+    tn = tile_n or min(1024, tn_cap, _round_up(n, 128))
     n_pad = _round_up(n, tn)
     k_half = k // 2
     tile_kh = k_half
