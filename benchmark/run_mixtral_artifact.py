@@ -56,6 +56,7 @@ from fused4bit_tpu.ops.grouped_matmul import (
     grouped_int4_matmul_a8,
     grouped_int4_matmul_per_group,
 )
+from fused4bit_tpu.ops.int8_xla import int4_grouped_transient
 from fused4bit_tpu.quant import dequantize, quantize
 from fused4bit_tpu.utils.benchmark import time_fn_scan, time_fn_slope
 
@@ -190,6 +191,18 @@ def implementations(env, tile_m, which):
         ).reshape(-1, N).astype(xs.dtype)
 
     reg("w4a8-xla", w4a8_xla, (env["w8"], env["w8_scale"]))
+
+    # w4u4-xla: TRANSIENT unpack — weights stay packed u4 in HBM (true 4-bit
+    # residency, unlike w4a8-xla's permanent 2x i8 copy); each call unpacks
+    # to a per-layer transient i8 tensor in-graph and runs the same integer
+    # einsum. Read 0.5x + write 1x + read 1x of dense-i8 bytes, all at XLA's
+    # streaming rate; MXU-bound at prefill so the unpack amortizes.
+    def w4u4_xla(xs, q):
+        return int4_grouped_transient(
+            xs[: E * cap].reshape(E, cap, K), q
+        ).reshape(-1, N)
+
+    reg("w4u4-xla", w4u4_xla, (qt,))
     return impls
 
 

@@ -139,9 +139,45 @@ class QuantizedLinear:
             self, w8=to_int8_resident(self.weight), activation="int8_xla"
         )
 
+    def as_u4_turbo(self) -> "QuantizedLinear":
+        """Regime-dispatched execution with PACKED residency (no weight
+        copies): decode-size inputs run the fused Pallas w4a8 kernel (half
+        the weight bytes, the measured decode winner); prefill-size inputs
+        unpack to a per-call transient i8 tensor and run XLA's integer-MXU
+        dot (`ops.int8_xla.int4_linear_transient`) — XLA streaming without
+        the resident mode's permanent 2x weight memory. The leading dim is
+        static under jit, so the dispatch is compile-time."""
+        return dataclasses.replace(self, activation="int8_auto")
+
+    # Leading-dim size at which the XLA transient path takes over from the
+    # fused kernel under activation="int8_auto". The fused kernel wins the
+    # memory-bound decode regime (half the bytes at ~460-580 GB/s); XLA's
+    # MXU emitter wins once the op is compute-bound.
+    _AUTO_PREFILL_M = 256
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         w = self.weight
-        if self.activation == "int8_xla" and self.w8 is not None:
+        activation = self.activation
+        if activation == "int8_auto":
+            m = 1
+            for d in x.shape[:-1]:
+                m *= d
+            if (
+                m >= self._AUTO_PREFILL_M
+                and w.layout == "planar"
+                and w.granularity in ("per_row", "per_tensor")
+            ):
+                activation = "int8_transient"
+            else:
+                activation = "int8"
+        if activation == "int8_transient":
+            from ..ops.int8_xla import int4_linear_transient
+
+            y = int4_linear_transient(x, w)
+            if self.bias is not None:
+                y = y + self.bias.astype(y.dtype)
+            return y
+        if activation == "int8_xla" and self.w8 is not None:
             from ..ops.int8_xla import int8_linear
 
             y = int8_linear(x, self.w8)
@@ -150,7 +186,7 @@ class QuantizedLinear:
             return y
         if (
             self.use_kernel
-            and self.activation == "int8"
+            and activation == "int8"
             and w.layout == "planar"
             and w.granularity == "per_row"
         ):

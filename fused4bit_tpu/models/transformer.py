@@ -32,7 +32,7 @@ from .config import ModelConfig
 
 __all__ = [
     "QuantizedTransformer", "TransformerBlock", "MoEBlock", "Attention",
-    "as_turbo", "as_xla_turbo",
+    "as_turbo", "as_xla_turbo", "as_u4_turbo",
 ]
 
 
@@ -223,17 +223,22 @@ class MoEBlock:
         b, t, h = x.shape
         xf = x.reshape(b * t, h)
         routing = topk_route(self.router(xf), self.top_k, self.num_experts)
-        if self.moe_impl == "xla_turbo":
+        if self.moe_impl in ("xla_turbo", "u4_turbo"):
             # Decode stays DROPLESS: the capacity layout drops tokens routed
             # beyond capacity_factor x mean load (Switch semantics), which is
             # acceptable as a prefill throughput trade but a silent semantic
             # change at decode (round-2 advisor). The grouped kernel is also
-            # the measured decode winner, so xla_turbo only changes prefill.
+            # the measured decode winner, so the turbo modes only change
+            # prefill. u4_turbo keeps PACKED weight residency and unpacks a
+            # per-call transient i8 tensor; xla_turbo streams a permanent
+            # i8-resident copy (2x packed memory, no unpack cost).
             if b * t <= self.prefill_threshold:
                 return self._grouped_forward(
                     xf, routing, self.tile_m
                 ).reshape(b, t, h)
-            return self._xla_turbo_forward(xf, routing).reshape(b, t, h)
+            return self._capacity_i8_forward(
+                xf, routing, transient=self.moe_impl == "u4_turbo"
+            ).reshape(b, t, h)
         if b * t > self.prefill_threshold:
             if self.prefill_impl == "einsum":
                 return self._prefill_forward(xf, routing).reshape(b, t, h)
@@ -255,10 +260,19 @@ class MoEBlock:
         d = self.w_down(hsw, plan.tile_group_ids, tile_m=tile_m)
         return combine(d, routing, plan)
 
-    def _xla_turbo_forward(self, xf: jnp.ndarray, routing) -> jnp.ndarray:
-        """Capacity layout + int8-resident batched XLA dots (all regimes)."""
+    def _capacity_i8_forward(
+        self, xf: jnp.ndarray, routing, *, transient: bool = False
+    ) -> jnp.ndarray:
+        """Capacity layout + integer-MXU batched XLA dots.
+
+        transient=False (xla_turbo): streams the permanent i8-resident
+        copies attached by `as_xla_turbo` (2x packed memory).
+        transient=True (u4_turbo): unpacks the PACKED weights in-graph to
+        per-call transient i8 tensors (`ops.int8_xla.int4_grouped_transient`)
+        — true 4-bit residency, same integer dot.
+        """
         from ..layers.moe import make_capacity_plan
-        from ..ops.int8_xla import int8_grouped_capacity
+        from ..ops.int8_xla import int4_grouped_transient, int8_grouped_capacity
 
         tk = xf.shape[0] * self.top_k
         cf = self.capacity_factor
@@ -269,12 +283,16 @@ class MoEBlock:
         xs = dispatch(xf, routing, plan)  # [E*C, H]
         e, c = self.num_experts, cap
         xe = xs.reshape(e, c, -1)
-        g = int8_grouped_capacity(xe, self.w_gate.w8)
-        u = int8_grouped_capacity(xe, self.w_up.w8)
+        if transient:
+            mm = lambda a, lin: int4_grouped_transient(a, lin.weight)  # noqa: E731
+        else:
+            mm = lambda a, lin: int8_grouped_capacity(a, lin.w8)  # noqa: E731
+        g = mm(xe, self.w_gate)
+        u = mm(xe, self.w_up)
         hsw = (
             jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)
         ).astype(xs.dtype)
-        d = int8_grouped_capacity(hsw, self.w_down.w8)
+        d = mm(hsw, self.w_down)
         return combine(d.reshape(e * c, -1), routing, plan)
 
     def _prefill_forward(self, xf: jnp.ndarray, routing) -> jnp.ndarray:
@@ -434,6 +452,50 @@ def as_xla_turbo(model: "QuantizedTransformer") -> "QuantizedTransformer":
         blocks.append(dataclasses.replace(blk, attn=attn, moe=moe))
     return dataclasses.replace(
         model, blocks=tuple(blocks), lm_head=model.lm_head.as_xla_turbo()
+    )
+
+
+def as_u4_turbo(model: "QuantizedTransformer") -> "QuantizedTransformer":
+    """Switch a model to packed-residency regime-dispatched execution.
+
+    No weight copies are made (unlike `as_xla_turbo`'s permanent 2x i8
+    residents): every layer keeps only its packed-u4 weights. Decode-size
+    calls run the fused Pallas w4a8 kernels (half the weight bytes — the
+    measured decode winner); prefill-size calls unpack a per-call TRANSIENT
+    i8 tensor in-graph and run XLA's integer-MXU dots at its streaming rate
+    (`ops/int8_xla.py` transient mode). MoE prefill uses the capacity layout
+    (Switch drop semantics at capacity_factor x mean load, same trade as
+    xla_turbo prefill); decode stays dropless. MoE tile_m is raised to 32
+    (int8 sublane tile), matching `as_turbo`.
+    """
+
+    def conv_linear(l):
+        if not isinstance(l, QuantizedLinear):
+            return l
+        return l.as_u4_turbo()
+
+    def conv_moe(m: MoEINT4) -> MoEINT4:
+        return dataclasses.replace(m, activation="int8")
+
+    blocks = []
+    for blk in model.blocks:
+        attn = dataclasses.replace(
+            blk.attn,
+            wq=conv_linear(blk.attn.wq), wk=conv_linear(blk.attn.wk),
+            wv=conv_linear(blk.attn.wv), wo=conv_linear(blk.attn.wo),
+        )
+        moe = dataclasses.replace(
+            blk.moe,
+            router=conv_linear(blk.moe.router),
+            w_gate=conv_moe(blk.moe.w_gate),
+            w_up=conv_moe(blk.moe.w_up),
+            w_down=conv_moe(blk.moe.w_down),
+            tile_m=32,
+            moe_impl="u4_turbo",
+        )
+        blocks.append(dataclasses.replace(blk, attn=attn, moe=moe))
+    return dataclasses.replace(
+        model, blocks=tuple(blocks), lm_head=conv_linear(model.lm_head)
     )
 
 

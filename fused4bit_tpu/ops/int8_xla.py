@@ -34,6 +34,7 @@ from ..quant.core import QuantizedTensor, dequantize
 
 __all__ = [
     "Int8Resident", "to_int8_resident", "int8_linear", "int8_grouped_capacity",
+    "int4_linear_transient", "int4_grouped_transient",
 ]
 
 
@@ -108,3 +109,83 @@ def int8_grouped_capacity(xe: jnp.ndarray, w: Int8Resident) -> jnp.ndarray:
     return (
         acc.astype(jnp.float32) * sx * w.scales[:, None, :]
     ).astype(xe.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Transient-unpack mode: packed-u4 HBM residency + XLA int8 MXU execution
+# ---------------------------------------------------------------------------
+#
+# The int8-RESIDENT mode above wins the compute-bound prefill regime but
+# doubles the weights' HBM footprint — the one cost the whole framework
+# exists to avoid. This mode keeps the weights PACKED (true 4-bit residency)
+# and, per layer call, unpacks them with XLA elementwise ops into a
+# per-layer TRANSIENT i8 tensor that feeds the same integer-MXU dot:
+#
+#     read u4 (0.5x) -> write i8 (1x) -> matmul reads i8 (1x)
+#
+# At prefill token counts the matmul is MXU-bound, so the ~2.5x-of-packed
+# elementwise traffic rides XLA's full HBM rate and amortizes over E*N*K*T
+# MACs; at decode it would dominate, so callers dispatch this path only in
+# the prefill regime (the fused Pallas kernels own decode, where packed
+# streaming at half the bytes is the whole game). Peak extra memory is ONE
+# layer's i8 weights, freed when the layer's matmul completes — vs the
+# resident mode's permanent 2x on every layer at once.
+
+
+def _transient_w8(qt) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Planar-packed QuantizedTensor -> (w8 [..., N, K] i8, scales).
+
+    w8 = q - zp in [-15, 15], exact (zp is integer-valued by the quant spec,
+    `/root/reference/python/quantize.py:80-101`). XLA materializes w8 once
+    per call; the source of truth in HBM stays the packed u4 bytes.
+    """
+    if qt.layout != "planar":
+        raise ValueError("transient unpack requires planar layout")
+    p = qt.packed
+    lo = (p & 0x0F).astype(jnp.int8)
+    hi = ((p >> 4) ^ 0x8).astype(jnp.int8)
+    codes = jnp.concatenate([lo, hi], axis=-1)  # [..., N, K] in [0, 15]
+    if qt.granularity == "per_row":
+        zp8 = jnp.round(qt.zero_points).astype(jnp.int8)[..., None]
+        scales = qt.scales.astype(jnp.float32)
+    elif qt.granularity == "per_tensor":
+        zp8 = jnp.round(qt.zero_points).astype(jnp.int8)[..., None, None]
+        scales = qt.scales.astype(jnp.float32)[..., None]
+    else:
+        raise ValueError(
+            "transient unpack supports per_row/per_tensor (per_group scales "
+            "cannot fold past an integer dot; use the Pallas pg kernel)"
+        )
+    return codes - zp8, scales
+
+
+def int4_linear_transient(x: jnp.ndarray, qt) -> jnp.ndarray:
+    """y = x @ dequant(W)^T with packed-u4 residency and an XLA i8 dot.
+
+    Prefill-regime counterpart of `ops.int4_matmul.int4_matmul_a8`: same
+    int8-activation scheme (identical numerics), but the weight stream is
+    unpacked by XLA into a transient i8 buffer so the matmul runs at XLA's
+    integer-MXU rate instead of a Mosaic pipeline's.
+    """
+    w8, ws = _transient_w8(qt)
+    xq, sx = _quantize_acts(x)
+    acc = jax.lax.dot_general(
+        xq, w8, (((xq.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * sx * ws).astype(x.dtype)
+
+
+def int4_grouped_transient(xe: jnp.ndarray, qt) -> jnp.ndarray:
+    """Capacity-layout batched expert matmul with packed-u4 residency.
+
+    xe: [E, C, K]; qt: planar QuantizedTensor over [E, N, K].
+    Returns [E, C, N]. The MoE prefill analogue of `int8_grouped_capacity`.
+    """
+    w8, ws = _transient_w8(qt)  # [E, N, K], [E, N] (or [E, 1] per_tensor)
+    xq, sx = _quantize_acts(xe)
+    acc = jax.lax.dot_general(
+        xq, w8, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * sx * ws[:, None, :]).astype(xe.dtype)
