@@ -32,9 +32,10 @@ def main(argv=None):
     p.add_argument("--max-new", type=int, default=24)
     p.add_argument("--max-seq", type=int, default=128)
     p.add_argument("--mode", default="kernel",
-                   choices=["kernel", "turbo", "xla_turbo"],
+                   choices=["kernel", "turbo", "xla_turbo", "u4_turbo"],
                    help="kernel = packed-u4 Pallas; turbo = w4a8 kernels; "
-                        "xla_turbo = int8-resident XLA (ops/int8_xla)")
+                        "xla_turbo = int8-resident XLA (ops/int8_xla); "
+                        "u4_turbo = packed residency, transient-i8 prefill")
     p.add_argument("--decode-block", type=int, default=1,
                    help="decode steps fused into one compiled dispatch "
                         "(lax.scan in-graph; amortizes the ~3 ms/dispatch "
@@ -50,6 +51,9 @@ def main(argv=None):
     elif args.mode == "xla_turbo":
         from fused4bit_tpu.models.transformer import as_xla_turbo
         model = as_xla_turbo(model)
+    elif args.mode == "u4_turbo":
+        from fused4bit_tpu.models.transformer import as_u4_turbo
+        model = as_u4_turbo(model)
     eng = ServingEngine(
         model, cfg, num_slots=args.slots, max_seq=args.max_seq,
         prefill_bucket=16, decode_block=args.decode_block,

@@ -324,3 +324,70 @@ class TestMeshShapes:
                 for s in shape:
                     prod *= s
                 assert prod == n, (n, ax, shape)
+
+
+class TestRingAttention:
+    """Sequence/context parallelism (SURVEY §2.5 SP row): ring attention
+    over a `seq` mesh axis must match single-device causal attention."""
+
+    def _golden(self, q, k, v, causal=True):
+        b, hq, t, d = q.shape
+        rep = hq // k.shape[1]
+        kr = jnp.repeat(k, rep, axis=1).astype(jnp.float32)
+        vr = jnp.repeat(v, rep, axis=1).astype(jnp.float32)
+        s = jnp.einsum("bhid,bhjd->bhij", q.astype(jnp.float32), kr)
+        s = s / (d ** 0.5)
+        if causal:
+            mask = jnp.arange(t)[None, :] <= jnp.arange(t)[:, None]
+            s = jnp.where(mask[None, None], s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhij,bhjd->bhid", p, vr)
+
+    @pytest.mark.parametrize("hkv", [4, 2, 1])
+    def test_matches_dense_causal(self, rng, hkv):
+        from fused4bit_tpu.parallel.sequence import ring_attention
+
+        mesh = make_mesh(("seq",), (8,))
+        b, hq, t, d = 2, 4, 64, 16
+        q = randw(rng, b, hq, t, d)
+        k = randw(rng, b, hkv, t, d)
+        v = randw(rng, b, hkv, t, d)
+        got = np.asarray(ring_attention(q, k, v, mesh), np.float32)
+        want = np.asarray(self._golden(q, k, v), np.float32)
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+    def test_non_causal(self, rng):
+        from fused4bit_tpu.parallel.sequence import ring_attention
+
+        mesh = make_mesh(("seq",), (8,))
+        q = randw(rng, 1, 2, 32, 8)
+        k = randw(rng, 1, 2, 32, 8)
+        v = randw(rng, 1, 2, 32, 8)
+        got = np.asarray(ring_attention(q, k, v, mesh, causal=False), np.float32)
+        want = np.asarray(self._golden(q, k, v, causal=False), np.float32)
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+    def test_rejects_indivisible_t(self, rng):
+        from fused4bit_tpu.parallel.sequence import ring_attention
+
+        mesh = make_mesh(("seq",), (8,))
+        q = randw(rng, 1, 2, 12, 8)
+        with pytest.raises(ValueError, match="divide"):
+            ring_attention(q, q, q, mesh)
+
+    def test_bf16_inputs(self, rng):
+        """bf16 in, bf16 out, f32 online-softmax state inside."""
+        from fused4bit_tpu.parallel.sequence import ring_attention
+
+        mesh = make_mesh(("seq",), (4,), devices=jax.devices()[:4])
+        q = randw(rng, 1, 2, 32, 16).astype(jnp.bfloat16)
+        k = randw(rng, 1, 2, 32, 16).astype(jnp.bfloat16)
+        v = randw(rng, 1, 2, 32, 16).astype(jnp.bfloat16)
+        got = ring_attention(q, k, v, mesh)
+        assert got.dtype == jnp.bfloat16
+        want = self._golden(q, k, v)
+        rel = float(
+            jnp.linalg.norm(got.astype(jnp.float32) - want)
+            / jnp.linalg.norm(want)
+        )
+        assert rel < 2e-2, rel
