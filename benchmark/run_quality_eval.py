@@ -30,7 +30,10 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-FIXTURE = os.path.join(REPO, "tests", "fixtures", "tiny_trained.safetensors")
+FIXTURE = os.environ.get(
+    "QUALITY_EVAL_FIXTURE",
+    os.path.join(REPO, "tests", "fixtures", "tiny_trained.safetensors"),
+)
 
 
 def load_fixture_model():
@@ -133,7 +136,10 @@ def main():
             "logit_cosine_sim": round(cos, 4),
         }
     print(json.dumps(res, indent=2))
-    out = os.path.join(REPO, "benchmark", "results", "quality_trained.json")
+    out = os.environ.get(
+        "QUALITY_EVAL_OUT",
+        os.path.join(REPO, "benchmark", "results", "quality_trained.json"),
+    )
     with open(out, "w") as f:
         json.dump(res, f, indent=2)
     print(f"wrote {out}")

@@ -108,3 +108,99 @@ class TestCheckpoint:
             np.asarray(got, np.float32), np.asarray(want, np.float32),
             rtol=0.05, atol=0.05,
         )
+
+
+class TestElasticLoop:
+    """Failure-tolerant step loop (utils/elastic.py): resume after crash,
+    retry transient faults, identical trajectory to an uninterrupted run."""
+
+    @staticmethod
+    def _step(state, i):
+        import jax.numpy as jnp
+        return {"w": state["w"] + jnp.float32(i + 1), "n": state["n"] + 1}
+
+    def test_uninterrupted_matches_plain_loop(self, tmp_path):
+        import jax.numpy as jnp
+        from fused4bit_tpu.utils.elastic import elastic_loop
+
+        init = {"w": jnp.zeros((4,), jnp.float32), "n": jnp.int32(0)}
+        got, resumed = elastic_loop(
+            self._step, init, ckpt_dir=str(tmp_path / "ck"),
+            num_steps=7, save_every=3,
+        )
+        assert resumed == 0
+        want = init
+        for i in range(7):
+            want = self._step(want, i)
+        np.testing.assert_array_equal(np.asarray(got["w"]), np.asarray(want["w"]))
+        assert int(got["n"]) == 7
+
+    def test_resume_after_crash(self, tmp_path):
+        """Kill the loop mid-run (exception past the last save); a rerun
+        resumes from the newest checkpoint and lands on the same state."""
+        import jax.numpy as jnp
+        from fused4bit_tpu.utils.elastic import elastic_loop, latest_step
+
+        init = {"w": jnp.zeros((4,), jnp.float32), "n": jnp.int32(0)}
+        ckdir = str(tmp_path / "ck")
+
+        class Boom(RuntimeError):
+            pass
+
+        def crashing(state, i):
+            if i == 5:
+                raise Boom("preempted")
+            return self._step(state, i)
+
+        with pytest.raises(Boom):
+            elastic_loop(crashing, init, ckpt_dir=ckdir, num_steps=8,
+                         save_every=2, max_retries=0)
+        assert latest_step(ckdir) == 4
+
+        got, resumed = elastic_loop(
+            self._step, init, ckpt_dir=ckdir, num_steps=8, save_every=2,
+        )
+        assert resumed == 4
+        want = init
+        for i in range(8):
+            want = self._step(want, i)
+        np.testing.assert_array_equal(np.asarray(got["w"]), np.asarray(want["w"]))
+
+    def test_transient_fault_retry(self, tmp_path):
+        """A step that fails once then succeeds: the loop rolls back to the
+        last checkpoint and completes with the correct final state."""
+        import jax.numpy as jnp
+        from fused4bit_tpu.utils.elastic import elastic_loop
+
+        init = {"w": jnp.zeros((4,), jnp.float32), "n": jnp.int32(0)}
+        failed = {"done": False}
+
+        def flaky(state, i):
+            if i == 5 and not failed["done"]:
+                failed["done"] = True
+                raise RuntimeError("tunnel reset")
+            return self._step(state, i)
+
+        got, _ = elastic_loop(
+            flaky, init, ckpt_dir=str(tmp_path / "ck"), num_steps=8,
+            save_every=2, max_retries=2,
+        )
+        want = init
+        for i in range(8):
+            want = self._step(want, i)
+        np.testing.assert_array_equal(np.asarray(got["w"]), np.asarray(want["w"]))
+
+    def test_prune_keeps_newest(self, tmp_path):
+        from fused4bit_tpu.utils.elastic import elastic_loop, latest_step
+        import jax.numpy as jnp, os
+
+        init = {"w": jnp.zeros((2,), jnp.float32), "n": jnp.int32(0)}
+        ckdir = str(tmp_path / "ck")
+        elastic_loop(self._step, init, ckpt_dir=ckdir, num_steps=10,
+                     save_every=2, keep=2)
+        steps = sorted(
+            int(d.split("_")[1]) for d in os.listdir(ckdir)
+            if d.startswith("step_")
+        )
+        assert steps == [8, 10]
+        assert latest_step(ckdir) == 10
