@@ -11,7 +11,9 @@ CUDA library `Fused-4-bit-Dequantize-Linear-CUDA-Kernel` (see SURVEY.md):
   (``fused4bit_tpu.ops.grouped_matmul``, ``fused4bit_tpu.layers.moe``)
 * INT4 KV cache, Mixtral-style decoder, continuous-batching engine
   (``fused4bit_tpu.layers.kv_cache``, ``models``, ``serving``)
-* tensor/expert parallelism over device meshes (``fused4bit_tpu.parallel``)
+* tensor/expert/pipeline/sequence parallelism over device meshes
+  (``fused4bit_tpu.parallel``) + elastic checkpoint/resume
+  (``fused4bit_tpu.utils.elastic``)
 * benchmark + roofline harness (``fused4bit_tpu.utils``, ``benchmark/``)
 * native host-side packer (``fused4bit_tpu.native``, ``csrc/``)
 """
@@ -44,6 +46,10 @@ from .layers.moe import (  # noqa: F401
     topk_route,
 )
 from .layers.kv_cache import QuantizedKVCache  # noqa: F401
+from .ops.int8_xla import (  # noqa: F401
+    int4_grouped_transient,
+    int4_linear_transient,
+)
 
 __version__ = "0.1.0"
 
@@ -70,4 +76,6 @@ __all__ = [
     "combine",
     "make_dispatch_plan",
     "QuantizedKVCache",
+    "int4_linear_transient",
+    "int4_grouped_transient",
 ]
