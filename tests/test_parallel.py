@@ -391,3 +391,74 @@ class TestRingAttention:
             / jnp.linalg.norm(want)
         )
         assert rel < 2e-2, rel
+
+
+class TestRingAttentionQuantized:
+    """Packed-INT4-cache ring attention: the rotating chunks are the cache's
+    u8 codes + scales (~3.5x fewer ICI bytes/hop than bf16 K/V)."""
+
+    def test_matches_dequant_golden(self, rng):
+        from fused4bit_tpu.layers.kv_cache import QuantizedKVCache
+        from fused4bit_tpu.parallel.mesh import make_mesh
+        from fused4bit_tpu.parallel.sequence import ring_attention_quantized
+
+        mesh = make_mesh(("seq",), (8,))
+        b, hq, hkv, t, d = 2, 4, 2, 64, 16
+        cache = QuantizedKVCache.init(b, hkv, t, d)
+        k = randw(rng, b, hkv, t, d)
+        v = randw(rng, b, hkv, t, d)
+        cache = cache.append(k, v)
+        q = randw(rng, b, hq, t, d)
+
+        got = np.asarray(ring_attention_quantized(q, cache, mesh), np.float32)
+
+        kd, vd = cache.dequantize(jnp.float32)  # golden on the SAME cache
+        kr = jnp.repeat(kd, hq // hkv, axis=1)
+        vr = jnp.repeat(vd, hq // hkv, axis=1)
+        s = jnp.einsum("bhid,bhjd->bhij", q, kr) / (d ** 0.5)
+        cm = jnp.arange(t)[None, :] <= jnp.arange(t)[:, None]
+        s = jnp.where(cm[None, None], s, -1e30)
+        want = np.asarray(
+            jnp.einsum("bhij,bhjd->bhid", jax.nn.softmax(s, -1), vr),
+            np.float32,
+        )
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+    def test_per_row_lengths_masking(self, rng):
+        """Slots with shorter lengths must ignore positions past length even
+        when the causal mask would allow them."""
+        import dataclasses
+        from fused4bit_tpu.layers.kv_cache import QuantizedKVCache
+        from fused4bit_tpu.parallel.mesh import make_mesh
+        from fused4bit_tpu.parallel.sequence import ring_attention_quantized
+
+        mesh = make_mesh(("seq",), (4,), devices=jax.devices()[:4])
+        b, hkv, t, d = 2, 1, 32, 8
+        cache = QuantizedKVCache.init(b, hkv, t, d)
+        k = randw(rng, b, hkv, t, d)
+        cache = cache.append(k, k)
+        cache = dataclasses.replace(
+            cache, lengths=jnp.asarray([8, t], jnp.int32)
+        )
+        q = randw(rng, b, 2, t, d)
+        out = ring_attention_quantized(q, cache, mesh)
+        # poison entries past row 0's length; output must not change
+        poison = dataclasses.replace(
+            cache, v_scale=cache.v_scale.at[0, :, 8:].set(1e6)
+        )
+        out2 = ring_attention_quantized(q, poison, mesh)
+        np.testing.assert_allclose(
+            np.asarray(out[0, :, :8], np.float32),
+            np.asarray(out2[0, :, :8], np.float32), rtol=1e-5,
+        )
+
+    def test_rejects_odd_chunks(self, rng):
+        from fused4bit_tpu.layers.kv_cache import QuantizedKVCache
+        from fused4bit_tpu.parallel.mesh import make_mesh
+        from fused4bit_tpu.parallel.sequence import ring_attention_quantized
+
+        mesh = make_mesh(("seq",), (8,))
+        cache = QuantizedKVCache.init(1, 1, 8, 8)  # C = 1 (odd)
+        q = randw(rng, 1, 1, 8, 8)
+        with pytest.raises(ValueError, match="even chunks"):
+            ring_attention_quantized(q, cache, mesh)
