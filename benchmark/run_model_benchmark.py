@@ -30,6 +30,10 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--max-seq", type=int, default=256)
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--prefill", type=int, default=0,
+                   help="measure PREFILL of this many tokens across "
+                        "execution modes instead of decode")
+    p.add_argument("--json", default=None)
     args = p.parse_args(argv)
 
     cfg = flagship_model_config(args.scale)
@@ -80,6 +84,9 @@ def main(argv=None):
             ts.append((time.perf_counter() - t0) / steps)
         return sorted(ts)[len(ts) // 2]
 
+    if args.prefill:
+        return prefill_bench(args, cfg, model, dense)
+
     tq = run(model, qcaches)
     td = run(dense, dcaches)
 
@@ -87,6 +94,76 @@ def main(argv=None):
     print(f"  int4 model: {tq*1e3:8.3f} ms/step  -> {b/tq:8.0f} tokens/s")
     print(f"  bf16 model: {td*1e3:8.3f} ms/step  -> {b/td:8.0f} tokens/s")
     print(f"  speedup: {td/tq:.2f}x")
+    return 0
+
+
+def prefill_bench(args, cfg, model, dense):
+    """Model-level PREFILL throughput across execution modes.
+
+    One forward of a [B, T] prompt (T = --prefill) through the kernel
+    model, `as_u4_turbo` (packed residency, transient-i8 prefill),
+    `as_xla_turbo` (i8-resident), and the dense bf16 twin. The regime where
+    VERDICT r2 found the packed Pallas kernel losing to XLA streaming —
+    this measures the model-level outcome of the transient-unpack answer.
+    """
+    import json
+    import time
+
+    from fused4bit_tpu.models.transformer import as_u4_turbo, as_xla_turbo
+
+    b, t = args.batch, args.prefill
+    toks = jnp.zeros((b, t), jnp.int32)
+    pos = jnp.arange(t)
+
+    def run_prefill(m):
+        @jax.jit
+        def fwd(m, toks, caches):
+            logits, _ = m(toks, caches, pos)
+            return jnp.sum(jnp.abs(logits[:, -1]))
+
+        caches = m.init_cache(cfg, b, max(args.max_seq, t))
+        np.asarray(fwd(m, toks, caches))  # compile
+        ts = []
+        for r in range(4):
+            tk = jnp.full((b, t), r + 3, jnp.int32)
+            t0 = time.perf_counter()
+            np.asarray(fwd(m, tk, caches))  # host fetch = true barrier
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[len(ts) // 2]
+
+    rows = {}
+    for name, m in (
+        ("int4-kernel", model),
+        ("u4_turbo", as_u4_turbo(model)),
+        ("xla_turbo", as_xla_turbo(model)),
+        ("bf16-dense", dense),
+    ):
+        try:
+            sec = run_prefill(m)
+        except Exception as err:
+            rows[name] = {"error": str(err)[:200]}
+            print(f"  {name:<12} FAILED {str(err)[:120]}")
+            continue
+        rows[name] = {
+            "ms": round(sec * 1e3, 2),
+            "tokens_per_s": round(b * t / sec, 0),
+        }
+        print(f"  {name:<12} {sec*1e3:8.2f} ms   {b*t/sec:10.0f} tokens/s")
+    if "ms" in rows.get("bf16-dense", {}):
+        for k in ("int4-kernel", "u4_turbo", "xla_turbo"):
+            if "ms" in rows.get(k, {}):
+                rows[k]["speedup_vs_bf16"] = round(
+                    rows["bf16-dense"]["ms"] / rows[k]["ms"], 2
+                )
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump({
+                "geometry": f"{cfg.name} B={b} T={t}",
+                "protocol": "single prefill forward, host-fetch barrier, "
+                            "median of 4 fresh-input repeats",
+                "results": rows,
+            }, f, indent=1)
+        print(f"wrote {args.json}")
     return 0
 
 
