@@ -532,6 +532,31 @@ def int4_matmul_per_group(
     # [512, 5504], the flagship down-projection).
     tn_cap = max(128, (1_050_000 // k_half) // 128 * 128)
     tn = tile_n or min(512, tn_cap, _round_up(n, 128))
+    if tile_n is None:
+        # Full working-set budget: x block + ~6 compute-dtype temporaries +
+        # selection matrix + w block must fit scoped VMEM. The known-good
+        # flagship configs (up [512, 2048] ~13 MB, down [128, 5504] ~16 MB)
+        # sit just under 16 MB with bf16 temporaries; clamp only combos that
+        # blow past it (TN floor 64 sublanes, then TM) so prefill-sized TM
+        # with a wide TN can never re-create the [512, 5504] pathology.
+        gh_pad = _round_up(k_half // gs, 8)
+        budget = 16_000_000
+        cd_b = 4 if compute_dtype == jnp.float32 else 2
+
+        def ws(tm, tn_):
+            return (
+                tm * k * cd_b             # x block
+                + 6 * tn_ * k_half * cd_b  # expand/dequant temporaries
+                + gh_pad * k_half * 4     # selection matrix
+                + tn_ * k_half            # packed w block
+                + tm * tn_ * 4            # accumulator/out
+            )
+
+        while ws(tile_m, tn) > budget and tn > 64:
+            tn //= 2
+        while ws(tile_m, tn) > budget and tile_m > 32:
+            tile_m //= 2
+            m_pad = _round_up(m_pad, tile_m)
     n_pad = _round_up(n, tn)
     if m_pad != m:
         x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
