@@ -851,6 +851,17 @@ def grouped_int4_matmul_per_group(
     # the remote compile pathological.
     tn_cap = max(128, (1_050_000 // k_half) // 128 * 128)
     tn = tile_n or min(512, tn_cap, _round_up(n, 128))
+    if tile_n is None:
+        # joint (tile_m-aware) budget, mirroring int4_matmul_per_group: the
+        # x block scales with tile_m, so a prefill-sized tile_m with a wide
+        # TN must shrink TN (64-sublane floor) to stay under scoped VMEM.
+        gh_pad = _round_up(k_half // gs, 8)
+        cd_b = 4 if compute_dtype == jnp.float32 else 2
+        while (
+            tile_m * k * cd_b + 6 * tn * k_half * cd_b
+            + gh_pad * k_half * 4 + tn * k_half + tile_m * tn * 4
+        ) > 16_000_000 and tn > 64:
+            tn //= 2
     n_pad = _round_up(n, tn)
     packed, scales, zps = qt.packed, qt.scales, qt.zero_points  # [E,N,G]
     if n_pad != n:
