@@ -112,6 +112,8 @@ def prefill_bench(args, cfg, model, dense):
     from fused4bit_tpu.models.transformer import as_u4_turbo, as_xla_turbo
 
     b, t = args.batch, args.prefill
+    if t % 2:
+        t += 1  # pair-packed KV cache needs an even capacity
     toks = jnp.zeros((b, t), jnp.int32)
     pos = jnp.arange(t)
 

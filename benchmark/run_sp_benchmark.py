@@ -104,6 +104,10 @@ def main(argv=None):
         ):
             got = np.asarray(fn(), np.float32)
             rel = float(np.linalg.norm(got - want) / nrm)
+            # the docstring's "verifies" must be load-bearing: fail loudly
+            # instead of writing an artifact with a silently-broken column
+            tol = 1e-2 if name == "ring_bf16" else 1e-4
+            assert rel < tol, f"P={p_sz} {name}: rel {rel} exceeds {tol}"
             ts = []
             for _ in range(args.iters):
                 t0 = time.perf_counter()

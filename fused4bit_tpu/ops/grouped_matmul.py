@@ -857,11 +857,12 @@ def grouped_int4_matmul_per_group(
         # TN must shrink TN (64-sublane floor) to stay under scoped VMEM.
         gh_pad = _round_up(k_half // gs, 8)
         cd_b = 4 if compute_dtype == jnp.float32 else 2
+        # shrink in 128-lane multiples only (see int4_matmul_per_group)
         while (
             tile_m * k * cd_b + 6 * tn * k_half * cd_b
             + gh_pad * k_half * 4 + tn * k_half + tile_m * tn * 4
-        ) > 16_000_000 and tn > 64:
-            tn //= 2
+        ) > 16_000_000 and tn > 128:
+            tn = max(128, tn // 2 // 128 * 128)
     n_pad = _round_up(n, tn)
     packed, scales, zps = qt.packed, qt.scales, qt.zero_points  # [E,N,G]
     if n_pad != n:

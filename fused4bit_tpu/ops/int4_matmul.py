@@ -552,11 +552,14 @@ def int4_matmul_per_group(
                 + tm * tn_ * 4            # accumulator/out
             )
 
-        while ws(tile_m, tn) > budget and tn > 64:
-            tn //= 2
-        while ws(tile_m, tn) > budget and tile_m > 32:
-            tile_m //= 2
-            m_pad = _round_up(m_pad, tile_m)
+        # shrink in 128-lane multiples (the out block's lane dim — non-128
+        # tile_n values like 192/96 are untested Mosaic territory), then
+        # halve tile_m keeping it 8-sublane aligned.
+        while ws(tile_m, tn) > budget and tn > 128:
+            tn = max(128, tn // 2 // 128 * 128)
+        while ws(tile_m, tn) > budget and tile_m >= 16:
+            tile_m = max(8, _round_up(tile_m // 2, 8))
+        m_pad = _round_up(m_pad, tile_m)
     n_pad = _round_up(n, tn)
     if m_pad != m:
         x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))

@@ -141,10 +141,9 @@ def _transient_w8(qt) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """
     if qt.layout != "planar":
         raise ValueError("transient unpack requires planar layout")
-    p = qt.packed
-    lo = (p & 0x0F).astype(jnp.int8)
-    hi = ((p >> 4) ^ 0x8).astype(jnp.int8)
-    codes = jnp.concatenate([lo, hi], axis=-1)  # [..., N, K] in [0, 15]
+    from ..quant.core import unpack_planar
+
+    codes = unpack_planar(qt.packed).astype(jnp.int8)  # [..., N, K] in [0,15]
     if qt.granularity == "per_row":
         zp8 = jnp.round(qt.zero_points).astype(jnp.int8)[..., None]
         scales = qt.scales.astype(jnp.float32)

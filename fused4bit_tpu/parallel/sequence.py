@@ -85,8 +85,7 @@ def _ring_body(q, k, v, *, axis: str, causal: bool, scale: float):
     a0 = jax.lax.pvary(jnp.zeros((b, hq, c, d), jnp.float32), axis)
     perm = [(j, (j + 1) % p_sz) for j in range(p_sz)]
 
-    def step(carry, p_i):
-        m, l, acc, k_cur, v_cur = carry
+    def use(m, l, acc, k_cur, v_cur, p_i):
         src = (idx - p_i) % p_sz                              # chunk id held now
         k_pos = src * c + jnp.arange(c, dtype=jnp.int32)
         kr = jnp.repeat(k_cur, rep, axis=1).astype(jnp.float32)
@@ -94,18 +93,24 @@ def _ring_body(q, k, v, *, axis: str, causal: bool, scale: float):
         # masked-probability form inside _flash_step: rows whose every column
         # is masked keep m_new == -1e30; exp(s - m_new) would be exp(0) == 1
         # there, so the mask multiplies those probabilities back to zero.
-        m, l, acc = _flash_step(
-            m, l, acc, qf, kr, vr, q_pos, k_pos, causal, None
-        )
+        return _flash_step(m, l, acc, qf, kr, vr, q_pos, k_pos, causal, None)
+
+    def step(carry, p_i):
+        m, l, acc, k_cur, v_cur = carry
+        m, l, acc = use(m, l, acc, k_cur, v_cur, p_i)
         # rotate AFTER use; XLA is free to overlap the transfer with the
         # next iteration's einsums (the chunk only blocks at its first use)
         k_nxt = jax.lax.ppermute(k_cur, axis, perm)
         v_nxt = jax.lax.ppermute(v_cur, axis, perm)
         return (m, l, acc, k_nxt, v_nxt), None
 
-    (m, l, acc, _, _), _ = jax.lax.scan(
-        step, (m0, l0, a0, k, v), jnp.arange(p_sz, dtype=jnp.int32)
+    # P-1 (use, rotate) steps in the scan, final chunk used OUTSIDE it — a
+    # P-step scan would issue one extra rotation whose output is discarded
+    # (real ICI traffic: the permute feeds the carry, XLA cannot drop it).
+    (m, l, acc, k_last, v_last), _ = jax.lax.scan(
+        step, (m0, l0, a0, k, v), jnp.arange(p_sz - 1, dtype=jnp.int32)
     )
+    m, l, acc = use(m, l, acc, k_last, v_last, p_sz - 1)
     out = acc / jnp.maximum(l, 1e-30)
     return out.astype(q.dtype)
 
@@ -171,23 +176,33 @@ def _ring_body_q(q, kp, ks, kz, vp, vs, vz, lengths, *, axis, causal, scale):
         codes = _unpack_pairs(p).astype(jnp.float32)          # [B,Hkv,C,D]
         return (codes - z[..., None]) * s[..., None]
 
-    def step(carry, p_i):
-        m, l, acc, kv = carry
-        kp_c, ks_c, kz_c, vp_c, vs_c, vz_c = kv
+    def use(m, l, acc, kv, p_i):
+        kp_c, vp_c, sz4 = kv
         src = (idx - p_i) % p_sz
         k_pos = src * c + jnp.arange(c, dtype=jnp.int32)
-        kr = jnp.repeat(dq(kp_c, ks_c, kz_c), rep, axis=1)
-        vr = jnp.repeat(dq(vp_c, vs_c, vz_c), rep, axis=1)
-        m, l, acc = _flash_step(
+        kr = jnp.repeat(dq(kp_c, sz4[0], sz4[1]), rep, axis=1)
+        vr = jnp.repeat(dq(vp_c, sz4[2], sz4[3]), rep, axis=1)
+        return _flash_step(
             m, l, acc, qf, kr, vr, q_pos, k_pos, causal, lengths
         )
+
+    def step(carry, p_i):
+        m, l, acc, kv = carry
+        m, l, acc = use(m, l, acc, kv, p_i)
         kv_nxt = jax.tree.map(lambda a: jax.lax.ppermute(a, axis, perm), kv)
         return (m, l, acc, kv_nxt), None
 
-    (m, l, acc, _), _ = jax.lax.scan(
-        step, (m0, l0, a0, (kp, ks, kz, vp, vs, vz)),
-        jnp.arange(p_sz, dtype=jnp.int32),
+    # The 4 per-position affine rows ride as ONE stacked [4, B, Hkv, C]
+    # array: 3 ppermute launches per hop (k codes, v codes, scales) instead
+    # of 6 — per-collective launch cost dominates for the small scale rows.
+    # P-1 rotations; the final chunk is used outside the scan (see
+    # _ring_body).
+    sz4 = jnp.stack([ks, kz, vs, vz])
+    (m, l, acc, kv_last), _ = jax.lax.scan(
+        step, (m0, l0, a0, (kp, vp, sz4)),
+        jnp.arange(p_sz - 1, dtype=jnp.int32),
     )
+    m, l, acc = use(m, l, acc, kv_last, p_sz - 1)
     out = acc / jnp.maximum(l, 1e-30)
     return out.astype(q.dtype)
 

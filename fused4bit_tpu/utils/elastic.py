@@ -17,7 +17,13 @@ pytree checkpointing (`utils.checkpoint`, Orbax):
 
 Multi-host: every process must call :func:`elastic_loop` (Orbax saves
 distributed arrays collectively). The checkpoint directory must be shared
-storage (GCS / NFS) in that case.
+storage (GCS / NFS) in that case — and in-process retry is DISABLED
+(``max_retries`` is forced to 0 when ``jax.process_count() > 1``): one
+process rolling back while peers continue would pair collectives at
+mismatched step counts. The multi-host failure story is
+fail-fast-and-relaunch — every process dies, the job restarts, and all
+processes resume together from the newest complete checkpoint (the loop's
+resume path). Pruning runs on process 0 only.
 """
 from __future__ import annotations
 
@@ -60,7 +66,8 @@ def prune_checkpoints(ckpt_dir: str, keep: int) -> None:
         for name in os.listdir(ckpt_dir)
         if (m := _STEP_RE.match(name))
     )
-    for s in steps[:-keep] if keep > 0 else []:
+    doomed = steps[:-keep] if keep > 0 else steps
+    for s in doomed:
         shutil.rmtree(os.path.join(ckpt_dir, f"step_{s}"), ignore_errors=True)
 
 
@@ -84,6 +91,13 @@ def elastic_loop(
     the restore template; pass ``shardings`` to materialize restored arrays
     onto a mesh (`utils.checkpoint.load`).
     """
+    import jax
+
+    multihost = jax.process_count() > 1
+    if multihost:
+        # see module docstring: per-process rollback desynchronizes
+        # collectives; multi-host recovery is relaunch-and-resume.
+        max_retries = 0
     os.makedirs(ckpt_dir, exist_ok=True)
     start = latest_step(ckpt_dir)
     state = init_state
@@ -121,6 +135,7 @@ def elastic_loop(
             on_step(i, state)
         if i % save_every == 0 or i == num_steps:
             ckpt.save(os.path.join(ckpt_dir, f"step_{i}"), state)
-            prune_checkpoints(ckpt_dir, keep)
+            if not multihost or jax.process_index() == 0:
+                prune_checkpoints(ckpt_dir, keep)
             retries = 0
     return state, resumed_from
