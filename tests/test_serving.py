@@ -195,6 +195,23 @@ class TestEngine:
             assert len(outd[uid]) == len(out1[uid]) == 6
             assert outd[uid][0] == out1[uid][0]  # prefill program is shared
 
+    def test_u4_turbo_model_with_decode_block(self, setup):
+        """as_u4_turbo engine (packed residency, regime dispatch) under
+        decode_block>1: accounting + first token must match the plain-model
+        single-step engine (the TPU serving-benchmark configuration)."""
+        from fused4bit_tpu.models.transformer import as_u4_turbo
+
+        cfg, model = setup
+        eng1 = make_engine(cfg, model)
+        engu = make_engine(cfg, as_u4_turbo(model), decode_block=3)
+        for uid, p in {0: [1, 2, 3], 1: [9, 8]}.items():
+            eng1.submit(GenerationRequest(uid=uid, prompt=p, max_new_tokens=5))
+            engu.submit(GenerationRequest(uid=uid, prompt=p, max_new_tokens=5))
+        out1, outu = eng1.run(), engu.run()
+        assert set(outu) == set(out1)
+        for uid in out1:
+            assert len(outu[uid]) == len(out1[uid]) == 5
+
     def test_decode_block_eos_stops_early(self, setup):
         cfg, model = setup
         eng = make_engine(cfg, model, decode_block=4)
