@@ -37,7 +37,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 __all__ = [
-    "ring_attention", "ring_attention_quantized", "sequence_sharded_attention",
+    "ring_attention", "ring_attention_quantized", "ulysses_attention",
+    "sequence_sharded_attention",
 ]
 
 _NEG = -1e30
@@ -250,6 +251,82 @@ def ring_attention_quantized(
         q, cache.k_packed, cache.k_scale, cache.k_zp,
         cache.v_packed, cache.v_scale, cache.v_zp, cache.lengths,
     )
+
+
+def _ulysses_body(q, k, v, *, axis: str, causal: bool, scale: float):
+    """shard_map body: seq-sharded chunks -> head-sharded full attention.
+
+    all_to_all trades the sequence sharding for a head sharding (each
+    device receives the FULL sequence for Hq/P of the heads), runs plain
+    causal attention locally, and trades back. Two collectives total vs the
+    ring's P-1 rotations — the better trade when heads are plentiful and
+    the context fits one device's memory for its head slice.
+    """
+    p_sz = jax.lax.axis_size(axis)
+    # [B, H, C, D] -> [B, H/P, T, D]: split heads, gather sequence
+    def fwd(a):
+        return jax.lax.all_to_all(
+            a, axis, split_axis=1, concat_axis=2, tiled=True
+        )
+
+    qh, kh, vh = fwd(q), fwd(k), fwd(v)
+    rep = qh.shape[1] // kh.shape[1]
+    kr = jnp.repeat(kh, rep, axis=1).astype(jnp.float32)
+    vr = jnp.repeat(vh, rep, axis=1).astype(jnp.float32)
+    t = qh.shape[2]
+    s = jnp.einsum("bhid,bhjd->bhij", qh.astype(jnp.float32) * scale, kr)
+    if causal:
+        cm = jnp.arange(t)[None, :] <= jnp.arange(t)[:, None]
+        s = jnp.where(cm[None, None], s, _NEG)
+    out = jnp.einsum(
+        "bhij,bhjd->bhid", jax.nn.softmax(s, axis=-1), vr
+    ).astype(q.dtype)
+    # [B, Hq/P, T, D] -> [B, Hq, C, D]: split sequence back, gather heads
+    return jax.lax.all_to_all(
+        out, axis, split_axis=2, concat_axis=1, tiled=True
+    )
+
+
+def ulysses_attention(
+    q: jnp.ndarray,   # [B, Hq, T, D]
+    k: jnp.ndarray,   # [B, Hkv, T, D]
+    v: jnp.ndarray,   # [B, Hkv, T, D]
+    mesh: Mesh,
+    *,
+    axis: str = "seq",
+    causal: bool = True,
+) -> jnp.ndarray:
+    """Ulysses-style sequence parallelism: head-sharded full attention.
+
+    The second standard SP strategy (SURVEY §2.5 names both): inputs and
+    outputs are sequence-sharded exactly like :func:`ring_attention`, but
+    internally one ``all_to_all`` re-shards over HEADS so each device runs
+    plain full-context attention for Hq/P query heads, and a second
+    ``all_to_all`` restores the sequence sharding. Requires Hq % P == 0 and
+    Hkv % P == 0 (GQA grouping stays aligned because contiguous head
+    blocks map to contiguous kv-head blocks). Prefer the ring when P
+    exceeds the kv-head count or the full context doesn't fit per device.
+    """
+    t = q.shape[2]
+    p_sz = mesh.shape[axis]
+    if t % p_sz != 0:
+        raise ValueError(f"T={t} must divide by {axis} size {p_sz}")
+    if q.shape[1] % p_sz or k.shape[1] % p_sz:
+        raise ValueError(
+            f"Hq={q.shape[1]} and Hkv={k.shape[1]} must divide by "
+            f"{axis} size {p_sz} (use ring_attention otherwise)"
+        )
+    if q.shape[1] % k.shape[1] != 0:
+        raise ValueError(f"Hq={q.shape[1]} not a multiple of Hkv={k.shape[1]}")
+    scale = q.shape[-1] ** -0.5
+    body = functools.partial(
+        _ulysses_body, axis=axis, causal=causal, scale=scale
+    )
+    spec = P(None, None, axis, None)
+    fn = shard_map(
+        body, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec
+    )
+    return fn(q, k, v)
 
 
 def sequence_sharded_attention(

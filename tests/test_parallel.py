@@ -462,3 +462,52 @@ class TestRingAttentionQuantized:
         q = randw(rng, 1, 1, 8, 8)
         with pytest.raises(ValueError, match="even chunks"):
             ring_attention_quantized(q, cache, mesh)
+
+
+class TestUlyssesAttention:
+    """Head-sharded SP (all_to_all re-shard): must match dense causal."""
+
+    @pytest.mark.parametrize("p_sz,hkv", [(8, 8), (4, 4), (2, 2)])
+    def test_matches_dense_causal(self, rng, p_sz, hkv):
+        from fused4bit_tpu.parallel.sequence import ulysses_attention
+
+        mesh = make_mesh(("seq",), (p_sz,), devices=jax.devices()[:p_sz])
+        b, hq, t, d = 2, 16, 32, 8
+        q = randw(rng, b, hq, t, d)
+        k = randw(rng, b, hkv, t, d)
+        v = randw(rng, b, hkv, t, d)
+        got = np.asarray(ulysses_attention(q, k, v, mesh), np.float32)
+
+        rep = hq // hkv
+        kr = jnp.repeat(k, rep, axis=1)
+        vr = jnp.repeat(v, rep, axis=1)
+        s = jnp.einsum("bhid,bhjd->bhij", q, kr) / (d ** 0.5)
+        cm = jnp.arange(t)[None, :] <= jnp.arange(t)[:, None]
+        s = jnp.where(cm[None, None], s, -1e30)
+        want = np.asarray(
+            jnp.einsum("bhij,bhjd->bhid", jax.nn.softmax(s, -1), vr),
+            np.float32,
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+    def test_agrees_with_ring(self, rng):
+        from fused4bit_tpu.parallel.sequence import (
+            ring_attention, ulysses_attention,
+        )
+
+        mesh = make_mesh(("seq",), (4,), devices=jax.devices()[:4])
+        q = randw(rng, 1, 8, 64, 16)
+        k = randw(rng, 1, 4, 64, 16)
+        v = randw(rng, 1, 4, 64, 16)
+        a = np.asarray(ulysses_attention(q, k, v, mesh), np.float32)
+        b_ = np.asarray(ring_attention(q, k, v, mesh), np.float32)
+        np.testing.assert_allclose(a, b_, atol=1e-5, rtol=1e-4)
+
+    def test_rejects_indivisible_heads(self, rng):
+        from fused4bit_tpu.parallel.sequence import ulysses_attention
+
+        mesh = make_mesh(("seq",), (8,))
+        q = randw(rng, 1, 8, 32, 8)
+        k = randw(rng, 1, 4, 32, 8)  # Hkv=4 < P=8
+        with pytest.raises(ValueError, match="must divide"):
+            ulysses_attention(q, k, k, mesh)
