@@ -223,7 +223,15 @@ class MoEBlock:
         b, t, h = x.shape
         xf = x.reshape(b * t, h)
         routing = topk_route(self.router(xf), self.top_k, self.num_experts)
-        if self.moe_impl in ("xla_turbo", "u4_turbo"):
+        transient_ok = self.w_gate.weight.granularity in (
+            "per_row", "per_tensor"
+        )
+        if self.moe_impl == "u4_turbo" and not transient_ok:
+            # per_group scales can't fold past an integer dot (the transient
+            # path rejects them); the dropless grouped pg kernel handles
+            # every regime instead.
+            pass
+        elif self.moe_impl in ("xla_turbo", "u4_turbo"):
             # Decode stays DROPLESS: the capacity layout drops tokens routed
             # beyond capacity_factor x mean load (Switch semantics), which is
             # acceptable as a prefill throughput trade but a silent semantic
