@@ -652,7 +652,14 @@ def grouped_int4_matmul_a8(
             vmem = 4 * c * k_half + 2 * tile_m * k + 4 * tile_m * c
             if vmem > _VMEM_BUDGET:
                 continue
-            traffic = w_bytes + x_bytes * (n_pad_c // c)
+            # traffic model uses PADDED weight bytes: the kernel streams
+            # e*n_pad_c*k_half, so a wide tile that pads n heavily (e.g.
+            # c=2048 at N=256: 8x) must lose to a pad-free one — with
+            # unpadded w_bytes all decode-regime candidates tie (~x_bytes
+            # ~ 0) and the widest, most-padded tile won
+            traffic = (
+                w_bytes * n_pad_c // n + x_bytes * (n_pad_c // c)
+            )
             if best is None or traffic < best[0]:
                 best = (traffic, c)
         tn = best[1] if best else min(512, _round_up(n, 128))

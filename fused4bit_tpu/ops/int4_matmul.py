@@ -732,9 +732,22 @@ def int4_matmul_a8(
     m_pad = _round_up(m_pad, tile_m)
     # Cap the double-buffered weight block at ~8 MB so Mosaic keeps the
     # DMA/compute pipeline: [1024, 5504] blocks (the flagship down
-    # projection) are 5.5 MB each and serialize when two don't fit.
+    # projection) are 5.5 MB each and serialize when two don't fit. Among
+    # capped candidates prefer one that DIVIDES round_up(n, 128): a
+    # non-divisor tile (640 at the flagship down-proj) forces n_pad
+    # padding, i.e. a per-call jnp.pad copy of the whole weight tensor on
+    # the decode hot path plus ~10% extra streamed bytes.
     tn_cap = max(128, (4_194_304 // (k // 2)) // 128 * 128)
-    tn = tile_n or min(1024, tn_cap, _round_up(n, 128))
+    if tile_n is None:
+        n128 = _round_up(n, 128)
+        hi = min(1024, tn_cap, n128)
+        tn = hi
+        if n128 % tn != 0:
+            div = [c for c in range(128, hi + 1, 128) if n128 % c == 0]
+            if div:
+                tn = div[-1]
+    else:
+        tn = tile_n
     n_pad = _round_up(n, tn)
     k_half = k // 2
     tile_kh = k_half

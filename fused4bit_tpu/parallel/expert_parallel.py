@@ -65,6 +65,32 @@ def _qt_local(qt: QuantizedTensor, packed, scales, zps, num_local: int):
 # ---------------------------------------------------------------------------
 
 
+
+def _local_contrib(xblk, eids, weights, lo, e_local, qt_loc, tile_m, interpret):
+    """One device's dropless contribution for a token block.
+
+    Foreign pairs (experts outside [lo, lo+e_local)) are remapped to local
+    expert 0 with weight 0 — their rows flow through the kernel but
+    contribute nothing after weighting. Shared by the psum-replicated and
+    ring strategies.
+    """
+    local_ids = eids - lo
+    mine = (local_ids >= 0) & (local_ids < e_local)
+    local_ids = jnp.where(mine, local_ids, 0).astype(jnp.int32)
+    w = jnp.where(mine, weights, 0.0)
+    tpe = jnp.bincount(local_ids.reshape(-1), length=e_local).astype(jnp.int32)
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(tpe)]
+    ).astype(jnp.int32)
+    rt = RoutingResult(local_ids, w, tpe, offsets)
+    plan = make_dispatch_plan(rt, e_local, tile_m=tile_m)
+    xs = dispatch(xblk, rt, plan)
+    y = grouped_int4_matmul(
+        xs, plan.tile_group_ids, qt_loc, tile_m=tile_m, interpret=interpret
+    )
+    return combine(y, rt, plan)  # [T_blk, N]
+
+
 def moe_ep_replicated(
     x: jnp.ndarray,            # [T, H], replicated over the expert axis
     router_logits: jnp.ndarray,  # [T, E], replicated
@@ -88,26 +114,11 @@ def moe_ep_replicated(
         dev = jax.lax.axis_index(axis)
         lo = dev * e_local
         routing = topk_route(logits, top_k, e)
-        # Keep only pairs routed to my experts: remap to local ids; foreign
-        # pairs point at local expert 0 with weight 0 (their rows still flow
-        # through the kernel but contribute nothing after weighting).
-        local_ids = routing.expert_indices - lo
-        mine = (local_ids >= 0) & (local_ids < e_local)
-        local_ids = jnp.where(mine, local_ids, 0).astype(jnp.int32)
-        weights = jnp.where(mine, routing.expert_weights, 0.0)
-        tpe = jnp.bincount(local_ids.reshape(-1), length=e_local).astype(jnp.int32)
-        offsets = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), jnp.cumsum(tpe)]
-        ).astype(jnp.int32)
-        local_routing = RoutingResult(local_ids, weights, tpe, offsets)
-
-        plan = make_dispatch_plan(local_routing, e_local, tile_m=tile_m)
-        xs = dispatch(xb, local_routing, plan)
         qt_loc = _qt_local(qt, packed, scales, zps, e_local)
-        y = grouped_int4_matmul(
-            xs, plan.tile_group_ids, qt_loc, tile_m=tile_m, interpret=interpret
-        )
-        part = combine(y, local_routing, plan)  # [T, N] partial
+        part = _local_contrib(
+            xb, routing.expert_indices, routing.expert_weights,
+            lo, e_local, qt_loc, tile_m, interpret,
+        )  # [T, N] partial
         return jax.lax.psum(part, axis)
 
     specs_in = (
@@ -471,27 +482,9 @@ def moe_ep_ring(
         qt_loc = _qt_local(qt, packed, scales, zps, e_local)
 
         def contrib(xblk, eidblk, wblk):
-            # replicated-strategy masking: foreign pairs -> local expert 0
-            # with weight 0 (their rows flow through the kernel, contribute
-            # nothing after weighting)
-            local_ids = eidblk - lo
-            mine = (local_ids >= 0) & (local_ids < e_local)
-            local_ids = jnp.where(mine, local_ids, 0).astype(jnp.int32)
-            w = jnp.where(mine, wblk, 0.0)
-            tpe = jnp.bincount(
-                local_ids.reshape(-1), length=e_local
-            ).astype(jnp.int32)
-            offsets = jnp.concatenate(
-                [jnp.zeros((1,), jnp.int32), jnp.cumsum(tpe)]
-            ).astype(jnp.int32)
-            rt = RoutingResult(local_ids, w, tpe, offsets)
-            plan = make_dispatch_plan(rt, e_local, tile_m=tile_m)
-            xs = dispatch(xblk, rt, plan)
-            y = grouped_int4_matmul(
-                xs, plan.tile_group_ids, qt_loc, tile_m=tile_m,
-                interpret=interpret,
+            return _local_contrib(
+                xblk, eidblk, wblk, lo, e_local, qt_loc, tile_m, interpret
             )
-            return combine(y, rt, plan)  # [T_blk, N]
 
         def step(_, carry):
             xblk, eidblk, wblk, yblk = carry

@@ -94,7 +94,7 @@ def pipeline_stages(
         lambda a: P(axis, *([None] * (a.ndim - 1))), params
     )
     return shard_map(
-        functools.partial(body),
+        body,
         mesh=mesh,
         in_specs=(pspec, P()),
         out_specs=P(),
