@@ -322,3 +322,23 @@ class TestShardedEngine:
         with pytest.raises(ValueError, match="multiple of prefill_bucket"):
             ServingEngine(model, cfg, num_slots=2, max_seq=60,
                           prefill_bucket=8)
+
+
+class TestGenerateAPI:
+    def test_one_call_generate(self, setup):
+        """serving.generate: prompts in, per-prompt completions out, in
+        order, honoring max_new_tokens."""
+        from fused4bit_tpu.serving import generate
+
+        cfg, model = setup
+        outs = generate(
+            model, cfg, [[1, 2, 3], [7, 8], [4]],
+            max_new_tokens=4, max_seq=64, prefill_bucket=8, decode_block=2,
+        )
+        assert [len(o) for o in outs] == [4, 4, 4]
+
+    def test_generate_empty(self, setup):
+        from fused4bit_tpu.serving import generate
+
+        cfg, model = setup
+        assert generate(model, cfg, []) == []
