@@ -254,6 +254,71 @@ def mk_kernel_step_g(call, **kw):
     return step
 
 
+def tune_tiles(args):
+    """Sweep the kernel tile_n knob per projection direction.
+
+    tile_n is the DMA/compute-overlap granularity of the fused kernels: the
+    weight stream is pipelined in [tile_n, K/2] blocks, so fewer/bigger
+    blocks amortize per-step overhead while more/smaller blocks overlap
+    better and fit double buffering. The wrapper's default is a VMEM-budget
+    heuristic (`int4_matmul.py` tn caps); this sweep measures the truth at
+    the flagship pair shape and writes `kernel_tile_tune.json` so the
+    defaults can be pinned to measured winners (VERDICT r2 item 1).
+
+    Grid: (tn_up for the 4096->11008 call) x (tn_down for 11008->4096),
+    chained-pairs slope protocol, one kernel impl per --tune value.
+    """
+    k, n = args.k, args.n
+    call = {"w4a16": int4_matmul, "w4a8": int4_matmul_a8}[args.tune]
+    qpairs = build_pairs(k, n, args.pairs)
+    x = jax.random.normal(jax.random.PRNGKey(9), (args.m, k), jnp.float32).astype(
+        jnp.bfloat16
+    )
+    pair_bytes = (n * k // 2 + 8 * n) + (k * n // 2 + 8 * k)
+
+    def mk_step(tn_up, tn_dn):
+        def step(y, ws):
+            qu, qd = ws
+            return call(jnp.sin(call(y, qu, tile_n=tn_up)), qd, tile_n=tn_dn)
+        return step
+
+    # Up-proj weight block is [tn, 2048] bytes; down-proj [tn, 5504].
+    # Keep double-buffered blocks within the proven ~8 MB total.
+    ups = [t for t in args.tune_tiles if t * (k // 2) <= 4_194_304]
+    dns = [t for t in args.tune_tiles if t * (n // 2) <= 4_194_304]
+    results, best = {}, None
+    for tu in ups:
+        for td in dns:
+            name = f"up{tu}_dn{td}"
+            try:
+                t = time_chain_slope(
+                    mk_step(tu, td), x, qpairs,
+                    p_small=1, p_large=len(qpairs), iters=args.iters,
+                )
+                results[name] = {
+                    "ms_per_pair": round(t * 1e3, 4),
+                    "weight_gbps": round(pair_bytes / t / 1e9, 1),
+                }
+                print(f"{name:<14} {t*1e3:8.4f} ms/pair "
+                      f"{pair_bytes/t/1e9:8.1f} GB/s")
+                if best is None or t < best[1]:
+                    best = (name, t)
+            except Exception as err:
+                results[name] = {"error": str(err)[:300]}
+                print(f"{name:<14} FAILED {str(err)[:120]}")
+    doc = {
+        "impl": args.tune,
+        "shape": {"m": args.m, "k": k, "n": n},
+        "protocol": "time_chain_slope over distinct up/down pairs",
+        "device": str(jax.devices()[0]),
+        "best": best[0] if best else None,
+        "results": results,
+    }
+    with open(args.out, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(f"best={best[0] if best else 'n/a'}; wrote {args.out}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--m", type=int, default=32)
@@ -270,8 +335,19 @@ def main():
              "sweep artifact (BASELINE configs[1]; replaces the floor-"
              "dominated time_fn_slope sweep, VERDICT r2 item 2)",
     )
+    ap.add_argument(
+        "--tune", choices=["w4a16", "w4a8"], default=None,
+        help="sweep (tile_n up x tile_n down) for one kernel impl and write "
+             "the tile-tune artifact",
+    )
+    ap.add_argument(
+        "--tune-tiles", type=int, nargs="*",
+        default=[256, 512, 768, 1024, 1536, 2048],
+    )
     args = ap.parse_args()
 
+    if args.tune:
+        return tune_tiles(args)
     if args.sweep_batch:
         return sweep_batches(args)
 
