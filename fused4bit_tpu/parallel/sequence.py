@@ -44,6 +44,17 @@ __all__ = [
 _NEG = -1e30
 
 
+def _pvary(x, axis):
+    """Mark a replicated value device-varying for shard_map's axis types.
+
+    ``jax.lax.pvary`` is deprecated in favor of ``pcast(..., to='varying')``;
+    support both so the package tracks JAX without a version pin."""
+    pcast = getattr(jax.lax, "pcast", None)
+    if pcast is not None:
+        return pcast(x, axis, to="varying")
+    return jax.lax.pvary(x, axis)
+
+
 def _flash_step(m, l, acc, qf, kr, vr, q_pos, k_pos, causal, lengths):
     """One online-softmax chunk update. qf pre-scaled f32; kr/vr f32 with
     query-head-count heads. Masked-probability form (see _ring_body)."""
@@ -81,9 +92,9 @@ def _ring_body(q, k, v, *, axis: str, causal: bool, scale: float):
     # pvary: the state starts identical on every device but the scan body
     # makes it device-varying; shard_map's varying-axis type system needs
     # the carry marked varying up front.
-    m0 = jax.lax.pvary(jnp.full((b, hq, c, 1), _NEG, jnp.float32), axis)
-    l0 = jax.lax.pvary(jnp.zeros((b, hq, c, 1), jnp.float32), axis)
-    a0 = jax.lax.pvary(jnp.zeros((b, hq, c, d), jnp.float32), axis)
+    m0 = _pvary(jnp.full((b, hq, c, 1), _NEG, jnp.float32), axis)
+    l0 = _pvary(jnp.zeros((b, hq, c, 1), jnp.float32), axis)
+    a0 = _pvary(jnp.zeros((b, hq, c, d), jnp.float32), axis)
     perm = [(j, (j + 1) % p_sz) for j in range(p_sz)]
 
     def use(m, l, acc, k_cur, v_cur, p_i):
@@ -168,9 +179,9 @@ def _ring_body_q(q, kp, ks, kz, vp, vs, vz, lengths, *, axis, causal, scale):
     qf = q.astype(jnp.float32) * scale
     q_pos = idx * c + jnp.arange(c, dtype=jnp.int32)
 
-    m0 = jax.lax.pvary(jnp.full((b, hq, c, 1), _NEG, jnp.float32), axis)
-    l0 = jax.lax.pvary(jnp.zeros((b, hq, c, 1), jnp.float32), axis)
-    a0 = jax.lax.pvary(jnp.zeros((b, hq, c, d), jnp.float32), axis)
+    m0 = _pvary(jnp.full((b, hq, c, 1), _NEG, jnp.float32), axis)
+    l0 = _pvary(jnp.zeros((b, hq, c, 1), jnp.float32), axis)
+    a0 = _pvary(jnp.zeros((b, hq, c, d), jnp.float32), axis)
     perm = [(j, (j + 1) % p_sz) for j in range(p_sz)]
 
     def dq(p, s, z):
