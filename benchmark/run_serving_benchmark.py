@@ -41,6 +41,13 @@ def main(argv=None):
                         "(lax.scan in-graph; amortizes the ~3 ms/dispatch "
                         "tunnel cost, VERDICT r2 item 4)")
     p.add_argument("--prefill-bucket", type=int, default=16)
+    p.add_argument("--paged", action="store_true",
+                   help="paged KV pool (layers/paged_kv): page gather rides "
+                        "the kernel's scalar-prefetched index_map")
+    p.add_argument("--page-size", type=int, default=64)
+    p.add_argument("--num-pages", type=int, default=None,
+                   help="pool size; default = contiguous-equivalent; set "
+                        "lower to exercise admission control")
     p.add_argument("--json", default=None)
     args = p.parse_args(argv)
 
@@ -58,6 +65,7 @@ def main(argv=None):
     eng = ServingEngine(
         model, cfg, num_slots=args.slots, max_seq=args.max_seq,
         prefill_bucket=args.prefill_bucket, decode_block=args.decode_block,
+        paged=args.paged, page_size=args.page_size, num_pages=args.num_pages,
     )
     rng = np.random.default_rng(0)
     total_new = 0
@@ -96,6 +104,8 @@ def main(argv=None):
         key = args.mode if args.decode_block == 1 else (
             f"{args.mode}_d{args.decode_block}"
         )
+        if args.paged:
+            key += f"_paged{args.page_size}"
         data[key] = {
             "generated_tokens_per_s": round(produced / dt, 1),
             "requests": len(out), "tokens": produced, "slots": args.slots,

@@ -46,6 +46,7 @@ from .layers.moe import (  # noqa: F401
     topk_route,
 )
 from .layers.kv_cache import QuantizedKVCache  # noqa: F401
+from .layers.paged_kv import PagedKVCache  # noqa: F401
 from .ops.int8_xla import (  # noqa: F401
     int4_grouped_transient,
     int4_linear_transient,
@@ -76,6 +77,7 @@ __all__ = [
     "combine",
     "make_dispatch_plan",
     "QuantizedKVCache",
+    "PagedKVCache",
     "int4_linear_transient",
     "int4_grouped_transient",
 ]

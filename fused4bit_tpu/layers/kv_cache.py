@@ -91,6 +91,39 @@ def _unpack_pairs(packed: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([lo, hi], axis=3).reshape(b, h, s2 * 2, d)
 
 
+def _merge_packed(buf: jnp.ndarray, q: jnp.ndarray, s) -> jnp.ndarray:
+    """Insert T new position codes into a pair-packed buffer at position s.
+
+    buf: [H, S/2, D] u8 pair-packed; q: [H, T, D] u4 codes; s: scalar i32.
+    Returns the updated buffer. Odd alignment and odd T read-modify-write the
+    boundary bytes (mask one nibble, or-in the other) — shared by the
+    contiguous cache (one buffer per batch row) and the paged cache (one
+    buffer per page; the caller guarantees [s, s+T) lies inside the buffer).
+    """
+    h, s2, d = buf.shape
+    t_new = q.shape[1]
+    # Touch byte rows [s//2, s//2 + t2) with t2 = T//2 + 1 (static): enough
+    # for any alignment/parity combination.
+    t2 = min(t_new // 2 + 1, s2)
+    # clamp the window like dynamic_slice will, and derive positions from
+    # the CLAMPED start so boundary writes stay consistent
+    r0 = jnp.minimum(s // 2, s2 - t2)
+    cur = jax.lax.dynamic_slice(buf, (0, r0, 0), (h, t2, d))
+    # position of each (byte row, nibble): p = 2*(r0 + i) + n
+    i = jnp.arange(t2)[:, None]                  # [t2, 1]
+    n = jnp.arange(2)[None, :]                   # [1, 2]
+    pos = 2 * (r0 + i) + n                       # [t2, 2]
+    idx = jnp.clip(pos - s, 0, t_new - 1)        # index into q
+    valid = (pos >= s) & (pos < s + t_new)       # [t2, 2]
+    newq = q[:, idx]                             # [H, t2, 2, D]
+    cur_lo = cur & 0x0F
+    cur_hi = (cur >> 4) ^ 0x8
+    lo = jnp.where(valid[None, :, 0, None], newq[:, :, 0], cur_lo)
+    hi = jnp.where(valid[None, :, 1, None], newq[:, :, 1], cur_hi)
+    merged = (((hi ^ 0x8) << 4) | lo).astype(jnp.uint8)
+    return jax.lax.dynamic_update_slice(buf, merged, (0, r0, 0))
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class QuantizedKVCache:
@@ -153,28 +186,7 @@ class QuantizedKVCache:
         qv, vs, vz = _affine(v)
         start = self.lengths if start is None else start
 
-        def upd_packed(buf, q, s):
-            # buf: [H, S/2, D] one batch row; q: [H, T, D] codes; s scalar.
-            # Touch byte rows [s//2, s//2 + t2) with t2 = T//2 + 1 (static):
-            # enough for any alignment/parity combination.
-            t2 = min(t_new // 2 + 1, buf.shape[1])
-            # clamp the window like dynamic_slice will, and derive positions
-            # from the CLAMPED start so boundary writes stay consistent
-            r0 = jnp.minimum(s // 2, buf.shape[1] - t2)
-            cur = jax.lax.dynamic_slice(buf, (0, r0, 0), (h, t2, d))
-            # position of each (byte row, nibble): p = 2*(r0 + i) + n
-            i = jnp.arange(t2)[:, None]                  # [t2, 1]
-            n = jnp.arange(2)[None, :]                   # [1, 2]
-            pos = 2 * (r0 + i) + n                       # [t2, 2]
-            idx = jnp.clip(pos - s, 0, t_new - 1)        # index into q
-            valid = (pos >= s) & (pos < s + t_new)       # [t2, 2]
-            newq = q[:, idx]                             # [H, t2, 2, D]
-            cur_lo = cur & 0x0F
-            cur_hi = (cur >> 4) ^ 0x8
-            lo = jnp.where(valid[None, :, 0, None], newq[:, :, 0], cur_lo)
-            hi = jnp.where(valid[None, :, 1, None], newq[:, :, 1], cur_hi)
-            merged = (((hi ^ 0x8) << 4) | lo).astype(jnp.uint8)
-            return jax.lax.dynamic_update_slice(buf, merged, (0, r0, 0))
+        upd_packed = _merge_packed  # buf [H, S/2, D], q [H, T, D], s scalar
 
         def upd3(buf, val, s):
             return jax.lax.dynamic_update_slice(buf, val, (0, s))
@@ -195,6 +207,24 @@ class QuantizedKVCache:
         """Mark one batch slot empty (its stale data is masked by length)."""
         return dataclasses.replace(
             self, lengths=self.lengths.at[slot].set(0)
+        )
+
+    # -- engine seam: single-slot prefill slicing (polymorphic with
+    #    PagedKVCache, whose pools are shared across slots) ----------------
+
+    def slice_slot(self, slot) -> "QuantizedKVCache":
+        """Batch-1 view of one slot (every array here is batch-major)."""
+        return jax.tree.map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=0), self
+        )
+
+    def merge_slot(self, part: "QuantizedKVCache", slot) -> "QuantizedKVCache":
+        """Write a batch-1 view produced by :meth:`slice_slot` back."""
+        return jax.tree.map(
+            lambda full, p: jax.lax.dynamic_update_slice_in_dim(
+                full, p, slot, axis=0
+            ),
+            self, part,
         )
 
     def dequantize(self, dtype=jnp.bfloat16):

@@ -404,6 +404,25 @@ class QuantizedTransformer:
             for _ in range(len(self.blocks))
         )
 
+    def init_paged_cache(
+        self, cfg: ModelConfig, batch: int, *,
+        num_pages: int, page_size: int, max_pages_per_slot: int,
+    ):
+        """Paged KV caches (one page pool per layer; `layers.paged_kv`).
+
+        Page ids are pool-local, so the serving engine can run one
+        allocator and apply the same assignment to every layer."""
+        from ..layers.paged_kv import PagedKVCache
+
+        return tuple(
+            PagedKVCache.init(
+                batch, cfg.num_kv_heads, cfg.head_dim,
+                num_pages=num_pages, page_size=page_size,
+                max_pages_per_slot=max_pages_per_slot,
+            )
+            for _ in range(len(self.blocks))
+        )
+
     def __call__(
         self,
         tokens: jnp.ndarray,        # [B, T] i32

@@ -39,7 +39,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["int4_decode_attention", "int4_prefill_attention"]
+__all__ = [
+    "int4_decode_attention", "int4_prefill_attention",
+    "paged_int4_decode_attention", "paged_int4_prefill_attention",
+]
 
 _NEG_INF = -1e30
 
@@ -232,6 +235,169 @@ def _attn_call(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "page", "max_pages", "n_q", "q_tile", "compute_dtype", "out_dtype",
+        "interpret",
+    ),
+)
+def _paged_attn_call(
+    q4, scalars, kp, ks, ksz, vp, vs, vz,
+    *, page, max_pages, n_q, q_tile, compute_dtype, out_dtype, interpret,
+):
+    """Paged variant of :func:`_attn_call`: same kernel BODY, the page table
+    folded into the K/V BlockSpec index_maps via scalar prefetch.
+
+    The grid's sequence dimension walks LOGICAL tiles (tile == page); each
+    tile's physical source is ``table[b, t]``, read from the prefetched
+    scalar vector by the index_map — the DMA engine performs the page
+    gather, block by block. Masks/positions in the body use the logical
+    index, so causality and lengths are untouched by paging. Unused table
+    entries all point at page 0: consecutive equal block indices are not
+    re-fetched by the pipeline, so the parked tail costs ~one page of DMA.
+
+    scalars: [2B + B*max_pages] i32 = [lengths | query starts | page table].
+    """
+    batch, h_kv, rows, d = q4.shape
+    g = rows // n_q
+    n_qt = n_q // q_tile
+    qr = q_tile * g
+    kernel = functools.partial(
+        _attn_kernel,
+        head_dim=d, s_tile=page, n_s=max_pages, g=g, qt_queries=q_tile,
+        batch=batch, compute_dtype=compute_dtype,
+    )
+
+    def page_id(i, t, L):
+        return L[2 * batch + i * max_pages + t]
+
+    def row():
+        return pl.BlockSpec(
+            (1, 1, 1, page), lambda i, j, qt, t, L: (page_id(i, t, L), j, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def pk():
+        return pl.BlockSpec(
+            (1, 1, page // 2, d),
+            lambda i, j, qt, t, L: (page_id(i, t, L), j, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(batch, h_kv, n_qt, max_pages),
+        in_specs=[
+            pl.BlockSpec((1, 1, qr, d), lambda i, j, qt, t, L: (i, j, qt, 0),
+                         memory_space=pltpu.VMEM),
+            pk(), row(), row(),
+            pk(), row(), row(),
+        ],
+        out_specs=pl.BlockSpec((1, 1, qr, d), lambda i, j, qt, t, L: (i, j, qt, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((qr, 1), jnp.float32),
+            pltpu.VMEM((qr, 1), jnp.float32),
+            pltpu.VMEM((qr, d), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((batch, h_kv, rows, d), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        scalars.astype(jnp.int32), q4,
+        kp, ks, ksz, vp, vs, vz,
+    )
+
+
+def _paged_operands(cache):
+    """Pool-side kernel operands: scales as lane-major permuted rows per
+    page (`_perm_rows` with the pool's page dim standing in for batch)."""
+    st = cache.page_size
+    ks = _perm_rows(cache.k_scale, st)
+    ksz = _perm_rows(cache.k_scale * cache.k_zp, st)
+    vs = _perm_rows(cache.v_scale, st)
+    vz = _perm_rows(cache.v_zp, st)
+    return (cache.k_pool, ks, ksz, cache.v_pool, vs, vz)
+
+
+def _paged_scalars(cache, starts):
+    return jnp.concatenate([
+        cache.lengths.astype(jnp.int32),
+        starts.astype(jnp.int32),
+        cache.page_table.reshape(-1).astype(jnp.int32),
+    ])
+
+
+def paged_int4_decode_attention(
+    q: jnp.ndarray,        # [B, Hq, D] — single decode step (post-RoPE)
+    cache,                 # PagedKVCache (lengths INCLUDE the new step)
+    *,
+    compute_dtype=jnp.bfloat16,
+    out_dtype=None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Decode attention straight over the paged INT4 pool (no gather)."""
+    b, hq, d = q.shape
+    h_kv = cache.k_pool.shape[1]
+    g = hq // h_kv
+    if g * h_kv != hq:
+        raise ValueError(f"Hq={hq} not a multiple of Hkv={h_kv}")
+    if interpret is None:
+        interpret = not _on_tpu()
+    if out_dtype is None:
+        out_dtype = q.dtype
+    q4 = q.reshape(b, h_kv, g, d)
+    out = _paged_attn_call(
+        q4, _paged_scalars(cache, cache.lengths - 1), *_paged_operands(cache),
+        page=cache.page_size, max_pages=cache.max_pages_per_slot,
+        n_q=1, q_tile=1, compute_dtype=compute_dtype,
+        out_dtype=out_dtype, interpret=interpret,
+    )
+    return out.reshape(b, hq, d)
+
+
+def paged_int4_prefill_attention(
+    q: jnp.ndarray,        # [B, Hq, T, D]
+    cache,                 # PagedKVCache (lengths INCLUDE the T new steps)
+    starts: jnp.ndarray,   # [B] i32
+    *,
+    compute_dtype=jnp.bfloat16,
+    out_dtype=None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Chunked prefill attention over the paged INT4 pool."""
+    b, hq, t, d = q.shape
+    h_kv = cache.k_pool.shape[1]
+    g = hq // h_kv
+    if g * h_kv != hq:
+        raise ValueError(f"Hq={hq} not a multiple of Hkv={h_kv}")
+    if interpret is None:
+        interpret = not _on_tpu()
+    if out_dtype is None:
+        out_dtype = q.dtype
+    qt = max(1, min(512 // g, t))
+    t_pad = _cdiv(t, qt) * qt
+    q4 = q.reshape(b, h_kv, g, t, d).transpose(0, 1, 3, 2, 4)
+    if t_pad != t:
+        q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, t_pad - t), (0, 0), (0, 0)))
+    q4 = q4.reshape(b, h_kv, t_pad * g, d)
+    out = _paged_attn_call(
+        q4, _paged_scalars(cache, starts), *_paged_operands(cache),
+        page=cache.page_size, max_pages=cache.max_pages_per_slot,
+        n_q=t_pad, q_tile=qt, compute_dtype=compute_dtype,
+        out_dtype=out_dtype, interpret=interpret,
+    )
+    out = out.reshape(b, h_kv, t_pad, g, d).transpose(0, 1, 3, 2, 4)
+    return out.reshape(b, hq, t_pad, d)[:, :, :t]
+
+
 def _perm_rows(a, st):
     """[B, H, S] per-position values -> [B, H, 1, S] lane-major rows where
     each s_tile's entries are reordered (evens, odds) to match the kernel's
@@ -265,6 +431,11 @@ def int4_decode_attention(
     (cache index == position; entry `length-1` is the current step, so the
     causal mask is simply `s < length`).
     """
+    if hasattr(cache, "page_table"):  # PagedKVCache: page-gathering kernel
+        return paged_int4_decode_attention(
+            q, cache, compute_dtype=compute_dtype, out_dtype=out_dtype,
+            interpret=interpret,
+        )
     b, hq, d = q.shape
     h_kv = cache.k_packed.shape[1]
     g = hq // h_kv
@@ -308,6 +479,11 @@ def int4_prefill_attention(
     skipped.
     Returns [B, Hq, T, D].
     """
+    if hasattr(cache, "page_table"):  # PagedKVCache: page-gathering kernel
+        return paged_int4_prefill_attention(
+            q, cache, starts, compute_dtype=compute_dtype,
+            out_dtype=out_dtype, interpret=interpret,
+        )
     b, hq, t, d = q.shape
     h_kv = cache.k_packed.shape[1]
     g = hq // h_kv

@@ -73,6 +73,9 @@ class ServingEngine:
         mesh=None,
         interpret=None,
         decode_block: int = 1,
+        paged: bool = False,
+        page_size: int = 64,
+        num_pages: Optional[int] = None,
     ):
         """`mesh`: run every forward through the fully sharded model step
         (DP batch x EP experts, `parallel.sharded_model`). The model must
@@ -107,7 +110,41 @@ class ServingEngine:
                 f"({prefill_bucket}) so chunked prefill never writes past the cache"
             )
 
-        self.caches = model.init_cache(cfg, num_slots, max_seq)
+        self.paged = paged
+        if paged:
+            # Paged KV (`layers.paged_kv`): slots borrow fixed-size pages
+            # from a shared pool instead of owning max_seq positions each.
+            # The pool can be sized BELOW num_slots*max_seq — admission then
+            # waits for pages instead of refusing, which is the whole point.
+            if mesh is not None:
+                raise ValueError("paged KV is single-chip for now (no mesh)")
+            if page_size % prefill_bucket != 0:
+                raise ValueError(
+                    f"page_size ({page_size}) must be a multiple of "
+                    f"prefill_bucket ({prefill_bucket}) so every prefill "
+                    "chunk lands inside one page"
+                )
+            if max_seq % page_size != 0:
+                raise ValueError(
+                    f"max_seq ({max_seq}) must be a multiple of page_size "
+                    f"({page_size})"
+                )
+            max_pages = max_seq // page_size
+            if num_pages is None:
+                # contiguous-equivalent capacity; page 0 is the reserved
+                # parked page (never allocated: unused table entries and
+                # retired slots' masked writes all land there)
+                num_pages = num_slots * max_pages + 1
+            self.page_size = page_size
+            self.num_pages = num_pages
+            self._free_pages = list(range(num_pages - 1, 0, -1))  # pop -> 1..
+            self._slot_pages: Dict[int, List[int]] = {}
+            self.caches = model.init_paged_cache(
+                cfg, num_slots, num_pages=num_pages, page_size=page_size,
+                max_pages_per_slot=max_pages,
+            )
+        else:
+            self.caches = model.init_cache(cfg, num_slots, max_seq)
         self.queue: Deque[GenerationRequest] = deque()
         self.active: Dict[int, GenerationRequest] = {}   # slot -> request
         self.generated: Dict[int, List[int]] = {}        # uid -> tokens
@@ -194,20 +231,15 @@ class ServingEngine:
         is a dedicated batch-1 forward on a sliced cache; JAX slices and
         re-inserts the slot's cache rows.
         """
-        sliced = jax.tree.map(
-            lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=0)
-            if a.ndim >= 1 else a,
-            caches,
-        )
+        # Cache-type-polymorphic slicing: the contiguous cache slices every
+        # batch-major array; the paged cache slices its table/length rows and
+        # SHARES the pools (the slot's pages are exclusively its own).
+        sliced = tuple(c.slice_slot(slot) for c in caches)
         t = prompt_row.shape[0]
         positions = (start_pos + jnp.arange(t, dtype=jnp.int32))[None, :]
         logits, sliced = model(prompt_row[None, :], sliced, positions)
-        caches = jax.tree.map(
-            lambda full, part: jax.lax.dynamic_update_slice_in_dim(
-                full, part, slot, axis=0
-            )
-            if full.ndim >= 1 else part,
-            caches, sliced,
+        caches = tuple(
+            full.merge_slot(part, slot) for full, part in zip(caches, sliced)
         )
         # all positions' logits — the caller picks true_len-1 (the bucket tail
         # is right-padding junk)
@@ -271,6 +303,35 @@ class ServingEngine:
                     f"prompt length {true_len} exceeds cache budget "
                     f"{self.max_seq - 1 - reserved} (max_seq={self.max_seq})"
                 )
+            num_chunks = max(1, -(-true_len // bucket))
+            if self.paged:
+                # Allocate this request's page working set up front: enough
+                # for the padded prefill AND the whole decode budget (so a
+                # running slot never stalls mid-decode waiting for a page).
+                planned = min(
+                    req.max_new_tokens - 1, self.max_seq - true_len - 1
+                )
+                positions = max(num_chunks * bucket, true_len + 1 + max(planned, 0))
+                pages_needed = -(-positions // self.page_size)
+                if pages_needed > self.num_pages - 1:
+                    raise ValueError(
+                        f"request needs {pages_needed} pages; pool has "
+                        f"{self.num_pages - 1} (num_pages-1; page 0 is "
+                        "reserved) — grow num_pages or shrink the request"
+                    )
+                if pages_needed > len(self._free_pages):
+                    # No room NOW: requeue at the front and wait for a
+                    # retirement to free pages (this is the admission-control
+                    # behavior paging buys; the contiguous engine would have
+                    # needed the full max_seq reserved per slot up front).
+                    self.queue.appendleft(req)
+                    self._free.append(slot)
+                    break
+                pages = [self._free_pages.pop() for _ in range(pages_needed)]
+                self._slot_pages[slot] = pages
+                self.caches = tuple(
+                    c.assign_pages(slot, pages) for c in self.caches
+                )
             # CHUNKED prefill: loop bucket-sized chunks through the one
             # compiled prefill program. Each chunk appends its K/V at
             # positions [start, start+bucket); the final chunk is RIGHT-padded
@@ -279,7 +340,6 @@ class ServingEngine:
             # prefill), the slot's length is rewound to true_len afterwards,
             # and each decode step overwrites junk at position p before the
             # same step's attention reads p.
-            num_chunks = max(1, -(-true_len // bucket))
             last_start = (num_chunks - 1) * bucket
             rem = true_len - last_start  # tokens in the final chunk (1..bucket)
             for c in range(num_chunks):
@@ -318,6 +378,8 @@ class ServingEngine:
         req = self.active.pop(slot)
         self.finished[req.uid] = self.generated.pop(req.uid)
         self.caches = tuple(c.reset_slot(slot) for c in self.caches)
+        if self.paged:
+            self._free_pages.extend(self._slot_pages.pop(slot, ()))
         self._free.append(slot)
 
     def step(self) -> int:
