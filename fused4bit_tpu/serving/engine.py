@@ -76,6 +76,7 @@ class ServingEngine:
         paged: bool = False,
         page_size: int = 64,
         num_pages: Optional[int] = None,
+        prefix_caching: bool = True,
     ):
         """`mesh`: run every forward through the fully sharded model step
         (DP batch x EP experts, `parallel.sharded_model`). The model must
@@ -139,6 +140,26 @@ class ServingEngine:
             self.num_pages = num_pages
             self._free_pages = list(range(num_pages - 1, 0, -1))  # pop -> 1..
             self._slot_pages: Dict[int, List[int]] = {}
+            # Prefix caching: requests whose prompts share full-page token
+            # prefixes point their tables at the SAME physical pages and skip
+            # re-prefilling them (K/V for identical token prefixes is
+            # identical — causal attention + deterministic quantization).
+            # Lifecycle: per-page refcounts count the slots holding a page;
+            # when the last holder retires, a page referenced by a prefix
+            # entry is RETAINED (stale-free: nothing writes a table-less
+            # page) so later requests with the same system prompt still hit.
+            # Retained pages are reclaimed lazily — allocation pressure
+            # evicts least-recently-used entries until enough pages free.
+            # Only full PROMPT pages register, so decode-time writes never
+            # touch shared pages.
+            self.prefix_caching = prefix_caching
+            self._page_refs = [0] * num_pages
+            self._prefix_entries: Dict[tuple, tuple] = {}  # tokens -> page ids
+            self._page_keys: Dict[int, set] = {}           # page -> entry keys
+            self._entry_lru: Dict[tuple, None] = {}        # insertion = LRU
+            self.prefix_stats = {
+                "lookups": 0, "hits": 0, "shared_tokens": 0, "evictions": 0,
+            }
             self.caches = model.init_paged_cache(
                 cfg, num_slots, num_pages=num_pages, page_size=page_size,
                 max_pages_per_slot=max_pages,
@@ -303,23 +324,51 @@ class ServingEngine:
                     f"prompt length {true_len} exceeds cache budget "
                     f"{self.max_seq - 1 - reserved} (max_seq={self.max_seq})"
                 )
-            num_chunks = max(1, -(-true_len // bucket))
+            shared_len = 0            # prompt tokens whose K/V is reused
+            shared_pages: List[int] = []
             if self.paged:
+                page = self.page_size
+                if self.prefix_caching:
+                    # Longest registered full-page prefix, capped so >=1
+                    # tail token still runs through prefill (its logits
+                    # produce the first generated token).
+                    self.prefix_stats["lookups"] += 1
+                    for n_s in range((true_len - 1) // page, 0, -1):
+                        ent = self._prefix_entries.get(
+                            tuple(prompt[: n_s * page].tolist())
+                        )
+                        if ent is not None:
+                            shared_pages = list(ent)
+                            shared_len = n_s * page
+                            self.prefix_stats["hits"] += 1
+                            self.prefix_stats["shared_tokens"] += shared_len
+                            key = tuple(prompt[: n_s * page].tolist())
+                            self._entry_lru.pop(key, None)   # refresh LRU
+                            self._entry_lru[key] = None
+                            break
                 # Allocate this request's page working set up front: enough
                 # for the padded prefill AND the whole decode budget (so a
                 # running slot never stalls mid-decode waiting for a page).
+                num_chunks = max(1, -(-(true_len - shared_len) // bucket))
                 planned = min(
                     req.max_new_tokens - 1, self.max_seq - true_len - 1
                 )
-                positions = max(num_chunks * bucket, true_len + 1 + max(planned, 0))
-                pages_needed = -(-positions // self.page_size)
+                positions = max(
+                    shared_len + num_chunks * bucket,
+                    true_len + 1 + max(planned, 0),
+                )
+                pages_needed = -(-positions // page)
                 if pages_needed > self.num_pages - 1:
                     raise ValueError(
                         f"request needs {pages_needed} pages; pool has "
                         f"{self.num_pages - 1} (num_pages-1; page 0 is "
                         "reserved) — grow num_pages or shrink the request"
                     )
-                if pages_needed > len(self._free_pages):
+                fresh_needed = pages_needed - len(shared_pages)
+                if fresh_needed > len(self._free_pages):
+                    # Reclaim retained prefix pages (LRU entries) first.
+                    self._evict_prefix_entries(fresh_needed)
+                if fresh_needed > len(self._free_pages):
                     # No room NOW: requeue at the front and wait for a
                     # retirement to free pages (this is the admission-control
                     # behavior paging buys; the contiguous engine would have
@@ -327,11 +376,29 @@ class ServingEngine:
                     self.queue.appendleft(req)
                     self._free.append(slot)
                     break
-                pages = [self._free_pages.pop() for _ in range(pages_needed)]
+                fresh = [self._free_pages.pop() for _ in range(fresh_needed)]
+                pages = shared_pages + fresh
+                for p in shared_pages:
+                    self._page_refs[p] += 1
+                for p in fresh:
+                    self._page_refs[p] = 1
                 self._slot_pages[slot] = pages
                 self.caches = tuple(
                     c.assign_pages(slot, pages) for c in self.caches
                 )
+                if self.prefix_caching:
+                    # Register every full PROMPT page of this request (decode
+                    # writes start at true_len, beyond all of them); nested
+                    # keys share page-list prefixes.
+                    for n in range(1, true_len // page + 1):
+                        key = tuple(prompt[: n * page].tolist())
+                        if key not in self._prefix_entries:
+                            self._prefix_entries[key] = tuple(pages[:n])
+                            self._entry_lru[key] = None
+                            for p in pages[:n]:
+                                self._page_keys.setdefault(p, set()).add(key)
+            else:
+                num_chunks = max(1, -(-true_len // bucket))
             # CHUNKED prefill: loop bucket-sized chunks through the one
             # compiled prefill program. Each chunk appends its K/V at
             # positions [start, start+bucket); the final chunk is RIGHT-padded
@@ -340,14 +407,18 @@ class ServingEngine:
             # prefill), the slot's length is rewound to true_len afterwards,
             # and each decode step overwrites junk at position p before the
             # same step's attention reads p.
+            # With a prefix-cache hit the first shared_len tokens are already
+            # in the slot's (shared) pages — prefill covers only the tail.
+            tail = true_len - shared_len  # >= 1 (lookup keeps a tail token)
             last_start = (num_chunks - 1) * bucket
-            rem = true_len - last_start  # tokens in the final chunk (1..bucket)
+            rem = tail - last_start  # tokens in the final chunk (1..bucket)
             for c in range(num_chunks):
-                chunk = prompt[c * bucket : (c + 1) * bucket]
+                start = shared_len + c * bucket
+                chunk = prompt[start : min(start + bucket, true_len)]
                 padded = np.pad(chunk, (0, bucket - len(chunk)))
                 logits_all, self.caches = self._prefill(
                     self.model, self.caches, jnp.asarray(padded),
-                    jnp.int32(slot), jnp.int32(c * bucket),
+                    jnp.int32(slot), jnp.int32(start),
                 )
             # rewind slot length to the real prompt length
             self.caches = tuple(
@@ -379,8 +450,37 @@ class ServingEngine:
         self.finished[req.uid] = self.generated.pop(req.uid)
         self.caches = tuple(c.reset_slot(slot) for c in self.caches)
         if self.paged:
-            self._free_pages.extend(self._slot_pages.pop(slot, ()))
+            for p in self._slot_pages.pop(slot, ()):
+                self._page_refs[p] -= 1
+                if self._page_refs[p] == 0 and not self._page_keys.get(p):
+                    # no prefix entry references it -> truly free; pages
+                    # under a prefix entry are RETAINED for future hits and
+                    # reclaimed by _evict_prefix_entries under pressure
+                    self._free_pages.append(p)
         self._free.append(slot)
+
+    def _drop_prefix_entry(self, key) -> None:
+        ent = self._prefix_entries.pop(key, None)
+        self._entry_lru.pop(key, None)
+        if not ent:
+            return
+        for p in ent:
+            keys = self._page_keys.get(p)
+            if keys is not None:
+                keys.discard(key)
+                if not keys:
+                    del self._page_keys[p]
+                    if self._page_refs[p] == 0:
+                        self._free_pages.append(p)
+
+    def _evict_prefix_entries(self, need: int) -> None:
+        """Drop least-recently-used prefix entries until `need` pages are
+        free (or no entries remain). Pages still held by a slot (refs > 0)
+        survive their entries and free later through _retire."""
+        while need > len(self._free_pages) and self._entry_lru:
+            key = next(iter(self._entry_lru))
+            self._drop_prefix_entry(key)
+            self.prefix_stats["evictions"] += 1
 
     def step(self) -> int:
         """Admit queued requests, decode `decode_block` tokens for every

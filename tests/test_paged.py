@@ -229,6 +229,99 @@ class TestPagedModelAndEngine:
         with pytest.raises(ValueError, match="pages"):
             eng.run()
 
+    def test_prefix_caching_shares_pages_and_matches(self, setup):
+        """Requests sharing a full-page prompt prefix reuse the SAME
+        physical pages (refcounted), skip re-prefilling them, and still
+        generate the same tokens as an engine with prefix caching off."""
+        from fused4bit_tpu.serving.engine import GenerationRequest, ServingEngine
+
+        cfg, model = setup
+        prefix = list(range(1, 17))            # exactly one 16-token page
+        prompts = [prefix + [30], prefix + [40, 41], prefix + [50]]
+        outs = {}
+        for pc in (True, False):
+            eng = ServingEngine(
+                model, cfg, num_slots=3, max_seq=64, prefill_bucket=8,
+                paged=True, page_size=16, prefix_caching=pc,
+            )
+            for uid, p in enumerate(prompts):
+                eng.submit(GenerationRequest(uid=uid, prompt=p, max_new_tokens=4))
+            outs[pc] = eng.run()
+            if pc:
+                stats = eng.prefix_stats
+                assert stats["hits"] == 2, stats          # requests 2 and 3
+                assert stats["shared_tokens"] == 32, stats
+                # after the run: no slot holds pages, but the prefix entry
+                # is RETAINED for future hits; retained + free = whole pool
+                assert all(r == 0 for r in eng._page_refs)
+                assert eng._prefix_entries
+                retained = {p for ks in [eng._page_keys] for p in ks}
+                assert len(retained) + len(eng._free_pages) == eng.num_pages - 1
+        for uid in range(3):
+            assert outs[True][uid][0] == outs[False][uid][0], (
+                uid, outs[True][uid], outs[False][uid]
+            )
+            assert len(outs[True][uid]) == len(outs[False][uid])
+
+    def test_prefix_pages_refcounted_across_retirement(self, setup):
+        """A shared page frees only when the LAST holder retires; prefix
+        entries die with it."""
+        from fused4bit_tpu.serving.engine import GenerationRequest, ServingEngine
+
+        cfg, model = setup
+        eng = ServingEngine(
+            model, cfg, num_slots=2, max_seq=64, prefill_bucket=8,
+            paged=True, page_size=16,
+        )
+        prefix = list(range(2, 18))
+        # long-runner holds the prefix while the short one comes and goes
+        eng.submit(GenerationRequest(uid=0, prompt=prefix + [1], max_new_tokens=12))
+        eng.submit(GenerationRequest(uid=1, prompt=prefix + [9], max_new_tokens=2))
+        eng._admit()  # admits both (hit for uid=1) without decoding yet
+        assert eng.prefix_stats["hits"] == 1
+        shared = [p for p, r in enumerate(eng._page_refs) if r == 2]
+        assert len(shared) == 1                 # the one prefix page
+        while 1 in {r.uid for r in eng.active.values()}:
+            eng.step()
+        # uid=1 retired; the shared page must still be held by uid=0
+        assert eng._page_refs[shared[0]] == 1
+        assert eng._prefix_entries            # entry survives
+        eng.run()
+        # run done: page retained (refs 0, entry alive), NOT free
+        assert eng._page_refs[shared[0]] == 0
+        assert eng._prefix_entries
+        assert shared[0] not in eng._free_pages
+        # allocation pressure evicts the LRU entry and frees the page
+        eng._evict_prefix_entries(len(eng._free_pages) + 1)
+        assert eng._prefix_entries == {}
+        assert shared[0] in eng._free_pages
+        assert eng.prefix_stats["evictions"] >= 1
+
+    def test_prefix_retention_hits_sequential_requests(self, setup):
+        """The system-prompt scenario: requests arrive AFTER earlier holders
+        retired — retained pages still hit; eviction reclaims them under
+        pool pressure without breaking completions."""
+        from fused4bit_tpu.serving.engine import GenerationRequest, ServingEngine
+
+        cfg, model = setup
+        sys_prompt = list(range(3, 19))  # one full 16-token page
+        eng = ServingEngine(
+            model, cfg, num_slots=1, max_seq=64, prefill_bucket=8,
+            paged=True, page_size=16, num_pages=5,  # tight pool: 4 usable
+        )
+        outs = {}
+        for uid in range(3):  # strictly sequential (1 slot)
+            eng.submit(GenerationRequest(
+                uid=uid, prompt=sys_prompt + [40 + uid], max_new_tokens=3,
+            ))
+            outs.update(eng.run())
+        assert eng.prefix_stats["hits"] == 2      # uid 1 and 2 hit retention
+        assert eng.prefix_stats["shared_tokens"] == 32
+        assert len(outs) == 3 and all(len(v) == 3 for v in outs.values())
+        # 4-usable-page pool: each request needs 2 pages (17+1+2 positions)
+        # while 1 stays retained -> eviction pressure must have been survivable
+        assert all(r == 0 for r in eng._page_refs)
+
     def test_engine_invalid_page_config(self, setup):
         from fused4bit_tpu.serving.engine import ServingEngine
 
