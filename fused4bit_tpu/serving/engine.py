@@ -40,10 +40,11 @@ class GenerationRequest:
 
 @dataclasses.dataclass(frozen=True)
 class Sampler:
-    """Compiled-in sampling config."""
+    """Compiled-in sampling config (greedy / temperature / top-k / top-p)."""
 
     temperature: float = 0.0       # 0 -> greedy
     top_k: int = 0                 # 0 -> full distribution
+    top_p: float = 1.0             # 1 -> no nucleus truncation
 
     def sample(self, logits: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
         """logits [B, V] -> tokens [B]."""
@@ -53,6 +54,17 @@ class Sampler:
         if self.top_k > 0:
             vals, _ = jax.lax.top_k(scaled, self.top_k)
             cutoff = vals[:, -1][:, None]
+            scaled = jnp.where(scaled < cutoff, -1e30, scaled)
+        if self.top_p < 1.0:
+            # Nucleus: keep the smallest prefix of the sorted distribution
+            # whose mass reaches top_p. Static shapes: sort + exclusive
+            # cumsum; a token stays if the mass STRICTLY BEFORE it is < p
+            # (the top-1 token always stays).
+            srt = jnp.sort(scaled, axis=-1)[:, ::-1]
+            probs = jax.nn.softmax(srt, axis=-1)
+            before = jnp.cumsum(probs, axis=-1) - probs
+            kept = jnp.where(before < self.top_p, srt, jnp.inf)
+            cutoff = jnp.min(kept, axis=-1, keepdims=True)  # worst kept logit
             scaled = jnp.where(scaled < cutoff, -1e30, scaled)
         return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
 

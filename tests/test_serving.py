@@ -111,6 +111,22 @@ class TestEngine:
         out = eng.run()
         assert len(out[0]) == 4
 
+    def test_top_p_sampler_truncates_nucleus(self, setup):
+        """top_p keeps the smallest prefix of the sorted distribution whose
+        mass reaches p: with one dominant logit and p below its probability,
+        sampling must always return it; p=1 must reach low-probability
+        tokens eventually."""
+        import numpy as np
+
+        logits = jnp.array([[4.0, 1.0, 0.5, 0.2, -1.0]] * 2)
+        keys = [jax.random.PRNGKey(i) for i in range(64)]
+        tight = Sampler(temperature=1.0, top_p=0.5)  # p(top1) ~ 0.83 > 0.5
+        toks = np.array([np.asarray(tight.sample(logits, k)) for k in keys])
+        assert (toks == 0).all(), toks
+        full = Sampler(temperature=1.0, top_p=1.0)
+        toks = np.array([np.asarray(full.sample(logits, k)) for k in keys])
+        assert (toks > 0).any()  # full distribution reaches other tokens
+
     def test_chunked_prefill_matches_plain(self, setup):
         """A prompt 3x the prefill bucket must NOT be truncated: the engine
         loops bucket-sized chunks through the compiled prefill program and the
