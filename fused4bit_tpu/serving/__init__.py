@@ -1,9 +1,13 @@
 """Serving: continuous-batching engine + one-call convenience API."""
 from typing import List, Optional, Sequence
 
-from .engine import GenerationRequest, ServingEngine
+from .engine import GenerationRequest, Sampler, ServingEngine
+from .speculative import SpeculativeDecoder, speculative_generate
 
-__all__ = ["GenerationRequest", "ServingEngine", "generate"]
+__all__ = [
+    "GenerationRequest", "Sampler", "ServingEngine", "generate",
+    "SpeculativeDecoder", "speculative_generate",
+]
 
 
 def generate(

@@ -1,0 +1,139 @@
+"""Speculative decoding: the output must BE a greedy target trajectory.
+
+The defining property (Leviathan et al. greedy variant): the draft model
+only affects SPEED (tokens per target weight stream), never content.
+Exact-chain comparison against a separate greedy loop is the wrong test on
+this stack — separately compiled programs differ by ~1-2 ULP in bf16
+logits and near-tied argmaxes legitimately flip (AGENTS.md; measured gap
+0.06 = 2 ULP on the one observed flip). The right property: teacher-force
+a FRESH target forward over (prompt + output) and assert every emitted
+token is the argmax of its position's logits, allowing the documented
+wobble only inside a near-tie band.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fused4bit_tpu.models.config import flagship_model_config
+from fused4bit_tpu.models.transformer import QuantizedTransformer
+from fused4bit_tpu.serving.speculative import (
+    SpeculativeDecoder,
+    speculative_generate,
+)
+
+pytestmark = pytest.mark.slow  # whole-model decode loops
+
+TIE_BAND = 0.2  # bf16 logits: a handful of ULP at |logit| ~ 4
+
+
+@pytest.fixture(scope="module")
+def models():
+    cfg = flagship_model_config("tiny")
+    target = QuantizedTransformer.init(jax.random.PRNGKey(0), cfg)
+    draft = QuantizedTransformer.init(jax.random.PRNGKey(7), cfg)  # different
+    return cfg, target, draft
+
+
+def assert_greedy_trajectory(model, cfg, prompt, out):
+    """Every token of `out` must be greedy under a fresh teacher-forced
+    forward: the argmax of its position's logits, or runner-up within the
+    near-tie band (cross-program ULP wobble)."""
+    seq = list(prompt) + list(out)
+    max_seq = ((len(seq) + 2) // 2) * 2
+    caches = model.init_cache(cfg, 1, max_seq)
+    toks = jnp.asarray([seq[:-1]], jnp.int32)
+    pos = jnp.arange(len(seq) - 1, dtype=jnp.int32)[None]
+    logits, _ = model(toks, caches, pos)
+    for i, tok in enumerate(out):
+        row = np.asarray(logits[0, len(prompt) - 1 + i], np.float32)
+        top2 = np.argsort(row)[-2:][::-1]
+        gap = float(row[top2[0]] - row[top2[1]])
+        assert tok == top2[0] or (tok == top2[1] and gap < TIE_BAND), (
+            f"token {tok} at step {i} is not greedy: top2={top2.tolist()} "
+            f"gap={gap}"
+        )
+
+
+class TestSpeculative:
+    def test_self_draft_full_acceptance(self, models):
+        """Draft == target: every draft token must be accepted (gamma+1
+        tokens per weight stream) and the output is a greedy trajectory."""
+        cfg, target, _ = models
+        dec = SpeculativeDecoder(target, target, cfg, cfg, gamma=3)
+        prompts = [[1, 2, 3], [9, 4]]
+        out = dec.generate(prompts, max_new_tokens=9)
+        assert dec.stats.acceptance_rate == 1.0, dec.stats
+        assert [len(o) for o in out] == [9, 9]
+        for p, o in zip(prompts, out):
+            assert_greedy_trajectory(target, cfg, p, o)
+
+    def test_independent_draft_is_still_greedy(self, models):
+        """A DIFFERENT draft model changes speed, not content: output is a
+        greedy TARGET trajectory even when most drafts are rejected."""
+        cfg, target, draft = models
+        prompts = [[1, 2, 3], [9, 4]]
+        out, stats = speculative_generate(
+            target, draft, cfg, cfg, prompts, gamma=4, max_new_tokens=10,
+        )
+        assert [len(o) for o in out] == [10, 10]
+        # a random independent draft should not be a perfect oracle
+        assert stats.acceptance_rate < 1.0, stats
+        for p, o in zip(prompts, out):
+            assert_greedy_trajectory(target, cfg, p, o)
+
+    def test_partial_acceptance_with_correlated_draft(self, models):
+        """A slightly-perturbed copy of the target agrees often but not
+        always — exercising the correction-token path (0 < n < gamma) and
+        its cache rollback, the trickiest bookkeeping case."""
+        import dataclasses
+
+        cfg, target, _ = models
+        # tiny amplitude: a random-init model's logit gaps are small, so
+        # perturbation sensitivity is high (5e-4 measures ~0.3 acceptance)
+        noise = 5e-4 * jax.random.normal(
+            jax.random.PRNGKey(3), target.embed.shape, target.embed.dtype
+        )
+        draft = dataclasses.replace(target, embed=target.embed + noise)
+        prompts = [[1, 2, 3], [9, 4]]
+        out, stats = speculative_generate(
+            target, draft, cfg, cfg, prompts, gamma=4, max_new_tokens=12,
+        )
+        assert [len(o) for o in out] == [12, 12]
+        assert 0.0 < stats.acceptance_rate < 1.0, stats
+        for p, o in zip(prompts, out):
+            assert_greedy_trajectory(target, cfg, p, o)
+
+    def test_eos_truncation(self, models):
+        """EOS anywhere in an accepted block truncates the output there."""
+        cfg, target, draft = models
+        full, _ = speculative_generate(
+            target, draft, cfg, cfg, [[1, 2, 3]], gamma=4, max_new_tokens=12,
+        )
+        eos = full[0][4]  # a token the trajectory emits mid-way
+        out, _ = speculative_generate(
+            target, draft, cfg, cfg, [[1, 2, 3]],
+            gamma=4, max_new_tokens=12, eos_id=eos,
+        )
+        assert eos in out[0]
+        assert out[0][out[0].index(eos):] == [eos]  # nothing after EOS
+        assert len(out[0]) <= 12
+        assert_greedy_trajectory(target, cfg, [1, 2, 3], out[0])
+
+    def test_variable_length_prompts(self, models):
+        cfg, target, draft = models
+        prompts = [[5], [1, 2, 3, 4, 5, 6, 7], [9, 4, 2]]
+        out, _ = speculative_generate(
+            target, draft, cfg, cfg, prompts, gamma=3, max_new_tokens=6,
+        )
+        assert [len(o) for o in out] == [6, 6, 6]
+        for p, o in zip(prompts, out):
+            assert_greedy_trajectory(target, cfg, p, o)
+
+    def test_vocab_mismatch_raises(self, models):
+        cfg, target, draft = models
+        import dataclasses
+
+        cfg2 = dataclasses.replace(cfg, vocab_size=cfg.vocab_size + 1)
+        with pytest.raises(ValueError, match="vocab"):
+            SpeculativeDecoder(target, draft, cfg, cfg2)
