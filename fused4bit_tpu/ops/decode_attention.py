@@ -273,12 +273,18 @@ def _paged_attn_call(
         return L[2 * batch + i * max_pages + t]
 
     def row():
+        # scales arrive pre-gathered to LOGICAL [B, H, 1, S] layout (active
+        # content only — gathering per call through the table costs O(B*S),
+        # where a full-pool permute would cost O(P*page) per call per layer
+        # and scale with pool size, review finding); logical indexing here.
         return pl.BlockSpec(
-            (1, 1, 1, page), lambda i, j, qt, t, L: (page_id(i, t, L), j, 0, 0),
+            (1, 1, 1, page), lambda i, j, qt, t, L: (i, j, 0, t),
             memory_space=pltpu.VMEM,
         )
 
     def pk():
+        # the BIG operands (packed codes) stay page-indirect: this index_map
+        # IS the gather, executed by the DMA engine per tile
         return pl.BlockSpec(
             (1, 1, page // 2, d),
             lambda i, j, qt, t, L: (page_id(i, t, L), j, 0, 0),
@@ -317,13 +323,25 @@ def _paged_attn_call(
 
 
 def _paged_operands(cache):
-    """Pool-side kernel operands: scales as lane-major permuted rows per
-    page (`_perm_rows` with the pool's page dim standing in for batch)."""
+    """Kernel operands: packed code POOLS page-indirect (the index_map does
+    that gather), scale planes gathered through the table to logical
+    [B, H, 1, S] lane-major rows. Scales are ~12% of the stream at D=128,
+    and gathering only table-referenced pages keeps the per-call cost at
+    O(active content) instead of O(pool) (review finding)."""
     st = cache.page_size
-    ks = _perm_rows(cache.k_scale, st)
-    ksz = _perm_rows(cache.k_scale * cache.k_zp, st)
-    vs = _perm_rows(cache.v_scale, st)
-    vz = _perm_rows(cache.v_zp, st)
+    table = cache.page_table  # [B, MP]
+
+    def gather(plane):        # [P, H, page] -> [B, H, MP*page]
+        g = plane[table]      # [B, MP, H, page]
+        b, mp, h, pg = g.shape
+        return g.transpose(0, 2, 1, 3).reshape(b, h, mp * pg)
+
+    ks_l, kz_l = gather(cache.k_scale), gather(cache.k_zp)
+    vs_l, vz_l = gather(cache.v_scale), gather(cache.v_zp)
+    ks = _perm_rows(ks_l, st)
+    ksz = _perm_rows(ks_l * kz_l, st)
+    vs = _perm_rows(vs_l, st)
+    vz = _perm_rows(vz_l, st)
     return (cache.k_pool, ks, ksz, cache.v_pool, vs, vz)
 
 

@@ -46,6 +46,15 @@ class Sampler:
     top_k: int = 0                 # 0 -> full distribution
     top_p: float = 1.0             # 1 -> no nucleus truncation
 
+    def __post_init__(self):
+        # top_p == 0 would mask EVERY token (the exclusive-cumsum keep rule
+        # `mass_before < p` fails even for the top-1) and degenerate to
+        # uniform sampling over the whole vocabulary — refuse loudly.
+        if not (0.0 < self.top_p <= 1.0):
+            raise ValueError(f"top_p must be in (0, 1], got {self.top_p}")
+        if self.temperature < 0.0:
+            raise ValueError(f"temperature must be >= 0, got {self.temperature}")
+
     def sample(self, logits: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
         """logits [B, V] -> tokens [B]."""
         if self.temperature == 0.0:
@@ -340,24 +349,32 @@ class ServingEngine:
             shared_pages: List[int] = []
             if self.paged:
                 page = self.page_size
+                hit_key = None
+                digests: List[str] = []
                 if self.prefix_caching:
-                    # Longest registered full-page prefix, capped so >=1
-                    # tail token still runs through prefill (its logits
-                    # produce the first generated token).
-                    self.prefix_stats["lookups"] += 1
-                    for n_s in range((true_len - 1) // page, 0, -1):
-                        ent = self._prefix_entries.get(
-                            tuple(prompt[: n_s * page].tolist())
-                        )
+                    # Chained per-page digests: O(prompt) total hashing and
+                    # O(1)-size keys (a full-token-tuple key costs
+                    # O(prompt^2/page) hashing and retains O(prompt) memory
+                    # per entry — review finding). Lookup walks ascending and
+                    # keeps the LONGEST hit, capped so >=1 tail token still
+                    # runs through prefill (its logits produce token 0).
+                    digests = self._prefix_digests(prompt, true_len // page)
+                    n_look = min((true_len - 1) // page, len(digests))
+                    if n_look > 0:
+                        self.prefix_stats["lookups"] += 1
+                    for i in range(n_look):
+                        ent = self._prefix_entries.get(digests[i])
                         if ent is not None:
+                            hit_key = digests[i]
                             shared_pages = list(ent)
-                            shared_len = n_s * page
-                            self.prefix_stats["hits"] += 1
-                            self.prefix_stats["shared_tokens"] += shared_len
-                            key = tuple(prompt[: n_s * page].tolist())
-                            self._entry_lru.pop(key, None)   # refresh LRU
-                            self._entry_lru[key] = None
-                            break
+                            shared_len = (i + 1) * page
+                    # Pin the matched pages NOW (their allocation ref):
+                    # eviction below must never free a page this admission is
+                    # about to put in its table (review finding: the LRU
+                    # loop could evict the matched entry itself and hand its
+                    # pages back out as fresh ones).
+                    for p in shared_pages:
+                        self._page_refs[p] += 1
                 # Allocate this request's page working set up front: enough
                 # for the padded prefill AND the whole decode budget (so a
                 # running slot never stalls mid-decode waiting for a page).
@@ -385,13 +402,13 @@ class ServingEngine:
                     # retirement to free pages (this is the admission-control
                     # behavior paging buys; the contiguous engine would have
                     # needed the full max_seq reserved per slot up front).
+                    for p in shared_pages:
+                        self._release_page(p)  # undo the pin
                     self.queue.appendleft(req)
                     self._free.append(slot)
                     break
                 fresh = [self._free_pages.pop() for _ in range(fresh_needed)]
                 pages = shared_pages + fresh
-                for p in shared_pages:
-                    self._page_refs[p] += 1
                 for p in fresh:
                     self._page_refs[p] = 1
                 self._slot_pages[slot] = pages
@@ -399,11 +416,15 @@ class ServingEngine:
                     c.assign_pages(slot, pages) for c in self.caches
                 )
                 if self.prefix_caching:
+                    if hit_key is not None:  # stats/LRU only on SUCCESS
+                        self.prefix_stats["hits"] += 1
+                        self.prefix_stats["shared_tokens"] += shared_len
+                        self._entry_lru.pop(hit_key, None)
+                        self._entry_lru[hit_key] = None
                     # Register every full PROMPT page of this request (decode
                     # writes start at true_len, beyond all of them); nested
                     # keys share page-list prefixes.
-                    for n in range(1, true_len // page + 1):
-                        key = tuple(prompt[: n * page].tolist())
+                    for n, key in enumerate(digests, start=1):
                         if key not in self._prefix_entries:
                             self._prefix_entries[key] = tuple(pages[:n])
                             self._entry_lru[key] = None
@@ -471,6 +492,32 @@ class ServingEngine:
                     self._free_pages.append(p)
         self._free.append(slot)
 
+    def _prefix_digests(self, prompt, n_pages: int) -> List[str]:
+        """Chained SHA-256 over full prompt pages: digests[i] keys
+        prompt[: (i+1)*page_size]. Cumulative updates make the whole list
+        O(prompt) work; 256-bit keys make collisions (which would silently
+        alias different prefixes) cryptographically negligible."""
+        import hashlib
+
+        h = hashlib.sha256()
+        out = []
+        for n in range(n_pages):
+            h.update(
+                np.ascontiguousarray(
+                    prompt[n * self.page_size : (n + 1) * self.page_size],
+                    np.int32,
+                ).tobytes()
+            )
+            out.append(h.hexdigest())
+        return out
+
+    def _release_page(self, p: int) -> None:
+        """Drop one reference; free the page when nothing holds OR retains
+        it (an orphan pinned through its entry's eviction must not leak)."""
+        self._page_refs[p] -= 1
+        if self._page_refs[p] == 0 and not self._page_keys.get(p):
+            self._free_pages.append(p)
+
     def _drop_prefix_entry(self, key) -> None:
         ent = self._prefix_entries.pop(key, None)
         self._entry_lru.pop(key, None)
@@ -487,9 +534,15 @@ class ServingEngine:
 
     def _evict_prefix_entries(self, need: int) -> None:
         """Drop least-recently-used prefix entries until `need` pages are
-        free (or no entries remain). Pages still held by a slot (refs > 0)
-        survive their entries and free later through _retire."""
+        free, no entries remain, or nothing RECLAIMABLE remains (pages held
+        or pinned by a slot — refs > 0 — survive their entries and free
+        later through _retire; evicting past them would wipe the whole
+        retained cache for zero freed pages, review finding)."""
         while need > len(self._free_pages) and self._entry_lru:
+            if not any(
+                self._page_refs[p] == 0 for p in self._page_keys
+            ):
+                return  # every retained page is ref-held; eviction is futile
             key = next(iter(self._entry_lru))
             self._drop_prefix_entry(key)
             self.prefix_stats["evictions"] += 1

@@ -166,8 +166,18 @@ class SpeculativeDecoder:
             raise ValueError("prompts must be non-empty")
         t_max = int(lens.max())
         g = self.gamma
+        needed = t_max + max_new_tokens + g + 2
         if max_seq is None:
-            max_seq = t_max + max_new_tokens + g + 2
+            max_seq = needed
+        elif max_seq < needed:
+            # A short cache would make append's dynamic_update_slice clamp
+            # silently, shearing packed codes from their scales (the same
+            # hole the serving engine refuses loudly) — refuse loudly too.
+            raise ValueError(
+                f"max_seq={max_seq} < prompt+max_new+gamma+2={needed}; "
+                "speculative rounds write up to gamma+1 positions past the "
+                "accepted length"
+            )
         max_seq = ((max_seq + 1) // 2) * 2  # pair-packed caches need even
 
         caches_t = self.target.init_cache(self.cfg_t, b, max_seq)

@@ -322,6 +322,75 @@ class TestPagedModelAndEngine:
         # while 1 stays retained -> eviction pressure must have been survivable
         assert all(r == 0 for r in eng._page_refs)
 
+    @staticmethod
+    def _check_allocator(eng):
+        """Global allocator invariants: a page is free XOR held XOR retained;
+        refcounts equal the number of slot tables holding the page; no page
+        is handed out twice."""
+        held = {}
+        for slot, pages in eng._slot_pages.items():
+            assert len(set(pages)) == len(pages), f"dup pages in slot {slot}"
+            for p in pages:
+                held[p] = held.get(p, 0) + 1
+        free = set(eng._free_pages)
+        assert len(free) == len(eng._free_pages), "duplicate free pages"
+        assert not (free & set(held)), f"page both free and held: {free & set(held)}"
+        for p in range(1, eng.num_pages):
+            assert eng._page_refs[p] == held.get(p, 0), (
+                p, eng._page_refs[p], held.get(p, 0)
+            )
+            retained = bool(eng._page_keys.get(p)) and eng._page_refs[p] == 0
+            if retained:
+                assert p not in free, f"retained page {p} also free"
+            if eng._page_refs[p] == 0 and not eng._page_keys.get(p):
+                assert p in free, f"page {p} leaked (no refs, no entry, not free)"
+
+    def test_eviction_never_reclaims_matched_prefix(self, setup):
+        """Review regression: admission pressure that triggers LRU eviction
+        while a prefix hit is in flight must never free the matched entry's
+        pages (they'd be handed out as fresh pages and overwritten). The
+        pinned pages survive; the allocator invariants hold after every
+        step; the hit request generates the same first token as an
+        uncached engine."""
+        from fused4bit_tpu.serving.engine import GenerationRequest, ServingEngine
+
+        cfg, model = setup
+        mk = lambda pc: ServingEngine(  # noqa: E731
+            model, cfg, num_slots=2, max_seq=64, prefill_bucket=8,
+            paged=True, page_size=16, num_pages=6, prefix_caching=pc,
+        )
+        eng = mk(True)
+        prefix32 = list(range(1, 33))          # two full pages
+        # A: registers the 2-page prefix, retires -> pages retained
+        eng.submit(GenerationRequest(uid=0, prompt=prefix32 + [40], max_new_tokens=2))
+        while eng.active or eng.queue:
+            eng.step()
+            self._check_allocator(eng)
+        # X: unrelated request holding pages
+        eng.submit(GenerationRequest(uid=1, prompt=[50 + i for i in range(17)],
+                                     max_new_tokens=12))
+        eng._admit()
+        self._check_allocator(eng)
+        # B: hits A's prefix, needs fresh pages beyond what's free ->
+        # eviction pressure with the matched entry's pages pinned
+        eng.submit(GenerationRequest(uid=2, prompt=prefix32 + [41], max_new_tokens=8))
+        while eng.active or eng.queue:
+            eng.step()
+            self._check_allocator(eng)
+        out = dict(eng.finished)
+        assert set(out) == {0, 1, 2}
+        # same first token as an engine without prefix caching
+        eng0 = mk(False)
+        eng0.submit(GenerationRequest(uid=2, prompt=prefix32 + [41], max_new_tokens=8))
+        out0 = eng0.run()
+        assert out[2][0] == out0[2][0], (out[2], out0[2])
+
+    def test_top_p_zero_rejected(self, setup):
+        from fused4bit_tpu.serving.engine import Sampler
+
+        with pytest.raises(ValueError, match="top_p"):
+            Sampler(temperature=1.0, top_p=0.0)
+
     def test_engine_invalid_page_config(self, setup):
         from fused4bit_tpu.serving.engine import ServingEngine
 
