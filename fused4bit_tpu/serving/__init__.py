@@ -23,13 +23,15 @@ def generate(
     temperature: float = 0.0,
     seed: int = 0,
     eos_id: Optional[int] = None,
+    return_logprobs: bool = False,
 ) -> List[List[int]]:
     """One-call batch generation: token prompts in, completions out.
 
     Convenience wrapper over :class:`ServingEngine` (continuous batching,
     chunked prefill, fused multi-step decode) for scripts and tests that
     don't need streaming submission. Returns one token list per prompt, in
-    prompt order.
+    prompt order; with ``return_logprobs`` also one per-token
+    log-probability list per prompt (the sampled token's log softmax).
     """
     n = len(prompts)
     if n == 0:
@@ -48,4 +50,7 @@ def generate(
             eos_token=eos_id,
         ))
     out = eng.run()
-    return [out[uid] for uid in range(n)]
+    toks = [out[uid] for uid in range(n)]
+    if return_logprobs:
+        return toks, [eng.finished_logprobs[uid] for uid in range(n)]
+    return toks

@@ -191,6 +191,8 @@ class ServingEngine:
         self.active: Dict[int, GenerationRequest] = {}   # slot -> request
         self.generated: Dict[int, List[int]] = {}        # uid -> tokens
         self.finished: Dict[int, List[int]] = {}
+        self.logprobs: Dict[int, List[float]] = {}       # uid -> per-token lp
+        self.finished_logprobs: Dict[int, List[float]] = {}
         self._free = list(range(num_slots))
         self._cur = np.zeros((num_slots,), np.int32)     # last token per slot
         self._pos = np.zeros((num_slots,), np.int32)     # next position
@@ -219,6 +221,12 @@ class ServingEngine:
 
     # -- compiled programs --------------------------------------------------
 
+    @staticmethod
+    def _logprob_of(logits, tokens):
+        """log softmax of `logits` [B, V] gathered at `tokens` [B] -> [B]."""
+        lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return jnp.take_along_axis(lsm, tokens[:, None], axis=1)[:, 0]
+
     def _decode_impl(self, model, caches, cur, pos, key, active_mask):
         tokens = cur[:, None]
         logits, caches = self._forward(model, tokens, caches, pos[:, None])
@@ -227,7 +235,7 @@ class ServingEngine:
         # cache writes land at their stale position and are masked by causal
         # attention for other slots (batch rows never interact).
         nxt = jnp.where(active_mask, nxt, 0)
-        return nxt, caches
+        return nxt, self._logprob_of(logits[:, 0], nxt), caches
 
     def _decode_block_impl(
         self, model, caches, cur, pos, remaining, eos, key, active
@@ -249,6 +257,7 @@ class ServingEngine:
             logits, caches = self._forward(model, cur[:, None], caches, pos[:, None])
             nxt = self.sampler.sample(logits[:, 0], sub)
             nxt = jnp.where(active, nxt, 0)
+            lp = self._logprob_of(logits[:, 0], nxt)
             act_i = active.astype(jnp.int32)
             new_rem = remaining - act_i
             finished = active & ((nxt == eos) | (new_rem <= 0))
@@ -256,13 +265,13 @@ class ServingEngine:
             cur = jnp.where(active, nxt, cur)
             pos = pos + act_i
             active = active & ~finished
-            return (caches, cur, pos, new_rem, active, key), (out_tok, out_act)
+            return (caches, cur, pos, new_rem, active, key), (out_tok, out_act, lp)
 
-        (caches, cur, pos, remaining, active, _), (toks, acts) = jax.lax.scan(
+        (caches, cur, pos, remaining, active, _), (toks, acts, lps) = jax.lax.scan(
             body, (caches, cur, pos, remaining, active, key), None,
             length=self.decode_block,
         )
-        return caches, cur, pos, remaining, active, toks, acts
+        return caches, cur, pos, remaining, active, toks, acts, lps
 
     def _prefill_impl(self, model, caches, prompt_row, slot, start_pos):
         """Prefill one slot with a [bucket]-padded prompt (batch of 1 lane).
@@ -465,8 +474,12 @@ class ServingEngine:
             # sampling for token 0 of every request).
             self._key, sub = jax.random.split(self._key)
             nxt = int(self.sampler.sample(logits_all[rem - 1][None, :], sub)[0])
+            lp0 = float(self._logprob_of(
+                logits_all[rem - 1][None, :], jnp.asarray([nxt], jnp.int32)
+            )[0])
             self.active[slot] = req
             self.generated[req.uid] = [nxt]
+            self.logprobs[req.uid] = [lp0]
             self._cur[slot] = nxt
             self._pos[slot] = true_len
             # Never let a slot write past max_seq: dynamic_update_slice would
@@ -481,6 +494,7 @@ class ServingEngine:
     def _retire(self, slot: int) -> None:
         req = self.active.pop(slot)
         self.finished[req.uid] = self.generated.pop(req.uid)
+        self.finished_logprobs[req.uid] = self.logprobs.pop(req.uid, [])
         self.caches = tuple(c.reset_slot(slot) for c in self.caches)
         if self.paged:
             for p in self._slot_pages.pop(slot, ()):
@@ -559,17 +573,19 @@ class ServingEngine:
         for s in self.active:
             active_mask[s] = True
         self._key, sub = jax.random.split(self._key)
-        nxt, self.caches = self._decode(
+        nxt, lps, self.caches = self._decode(
             self.model, self.caches,
             jnp.asarray(self._cur), jnp.asarray(self._pos),
             sub, jnp.asarray(active_mask),
         )
         nxt = np.asarray(nxt)
+        lps = np.asarray(lps)
         self._pos += active_mask.astype(np.int32)
         for slot in list(self.active):
             tok = int(nxt[slot])
             req = self.active[slot]
             self.generated[req.uid].append(tok)
+            self.logprobs[req.uid].append(float(lps[slot]))
             self._cur[slot] = tok
             self._remaining[slot] -= 1
             if self._remaining[slot] <= 0 or tok == req.eos_token:
@@ -586,7 +602,7 @@ class ServingEngine:
             if req.eos_token is not None:
                 eos[s] = req.eos_token
         self._key, sub = jax.random.split(self._key)
-        (self.caches, cur, pos, remaining, active, toks, acts) = self._decode_blk(
+        (self.caches, cur, pos, remaining, active, toks, acts, lps) = self._decode_blk(
             self.model, self.caches,
             jnp.asarray(self._cur), jnp.asarray(self._pos),
             jnp.asarray(self._remaining), jnp.asarray(eos),
@@ -594,6 +610,7 @@ class ServingEngine:
         )
         toks = np.asarray(toks)          # [D, B]
         acts = np.asarray(acts)          # [D, B] bool: was active at step d
+        lps = np.asarray(lps)            # [D, B] f32
         # np.array (copy): np.asarray of a device array is READ-ONLY and
         # _admit mutates these in place
         self._cur = np.array(cur, np.int32)
@@ -603,12 +620,30 @@ class ServingEngine:
         for slot in list(self.active):
             req = self.active[slot]
             gen = self.generated[req.uid]
+            lpl = self.logprobs[req.uid]
             for step_d in range(d):
                 if acts[step_d, slot]:
                     gen.append(int(toks[step_d, slot]))
+                    lpl.append(float(lps[step_d, slot]))
             if not final_active[slot]:
                 self._retire(slot)
         return len(self.active)
+
+    def cancel(self, uid: int) -> bool:
+        """Cancel a request by uid: removed from the queue, or retired
+        mid-generation (its tokens so far land in `finished`). Returns
+        whether anything was cancelled."""
+        for i, r in enumerate(self.queue):
+            if r.uid == uid:
+                del self.queue[i]
+                self.finished[uid] = []
+                self.finished_logprobs[uid] = []
+                return True
+        for slot, r in list(self.active.items()):
+            if r.uid == uid:
+                self._retire(slot)
+                return True
+        return False
 
     def run(self, max_steps: int = 10_000) -> Dict[int, List[int]]:
         """Drain the queue; returns {uid: generated tokens}."""

@@ -111,6 +111,49 @@ class TestEngine:
         out = eng.run()
         assert len(out[0]) == 4
 
+    def test_logprobs_returned_and_consistent(self, setup):
+        """Per-token logprobs: one per generated token, <= 0, and for a
+        greedy sampler each equals the max log-softmax (the argmax token's
+        probability) — checked against a fresh teacher-forced forward."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        cfg, model = setup
+        from fused4bit_tpu.serving import generate
+
+        prompt = [1, 2, 3]
+        toks, lps = generate(
+            model, cfg, [prompt], max_new_tokens=5, max_seq=64,
+            prefill_bucket=8, decode_block=2, return_logprobs=True,
+        )
+        assert len(lps[0]) == len(toks[0]) == 5
+        assert all(lp <= 0.0 for lp in lps[0])
+        # teacher-force: logprob of token i under the model given prefix
+        seq = prompt + toks[0]
+        caches = model.init_cache(cfg, 1, 16)
+        logits, _ = model(
+            jnp.asarray([seq[:-1]], jnp.int32), caches,
+            jnp.arange(len(seq) - 1, dtype=jnp.int32)[None],
+        )
+        lsm = jax.nn.log_softmax(logits[0].astype(jnp.float32), axis=-1)
+        for i, (tok, lp) in enumerate(zip(toks[0], lps[0])):
+            ref = float(lsm[len(prompt) - 1 + i, tok])
+            assert abs(ref - lp) < 0.15, (i, tok, lp, ref)  # bf16 cross-program
+
+    def test_cancel_queued_and_active(self, setup):
+        cfg, model = setup
+        eng = make_engine(cfg, model, num_slots=1, prefill_bucket=8)
+        eng.submit(GenerationRequest(uid=0, prompt=[1, 2], max_new_tokens=20))
+        eng.submit(GenerationRequest(uid=1, prompt=[3, 4], max_new_tokens=20))
+        eng.step()                      # uid 0 active, uid 1 queued
+        assert eng.cancel(1) is True    # cancel from the queue
+        assert eng.finished[1] == []
+        assert eng.cancel(0) is True    # cancel the active request
+        assert 0 in eng.finished and len(eng.finished[0]) >= 1
+        assert eng.cancel(7) is False   # unknown uid
+        out = eng.run()
+        assert set(out) == {0, 1}
+
     def test_top_p_sampler_truncates_nucleus(self, setup):
         """top_p keeps the smallest prefix of the sorted distribution whose
         mass reaches p: with one dominant logit and p below its probability,
