@@ -93,6 +93,9 @@ def main():
         "int4_xla_turbo_ms": round(t_turbo * 1e3, 3),
         "bf16_strong_ms": round(t_strong * 1e3, 3),
         "bf16_naive_ms": round(t_naive * 1e3, 3),
+        # provenance: CPU numbers (chip outage fallback) are interpret-mode
+        # and NOT comparable to TPU runs
+        "backend": jax.default_backend(),
     }))
 
 
