@@ -98,6 +98,7 @@ class ServingEngine:
         page_size: int = 64,
         num_pages: Optional[int] = None,
         prefix_caching: bool = True,
+        on_token=None,
     ):
         """`mesh`: run every forward through the fully sharded model step
         (DP batch x EP experts, `parallel.sharded_model`). The model must
@@ -193,6 +194,10 @@ class ServingEngine:
         self.finished: Dict[int, List[int]] = {}
         self.logprobs: Dict[int, List[float]] = {}       # uid -> per-token lp
         self.finished_logprobs: Dict[int, List[float]] = {}
+        # streaming hook: called as on_token(uid, token_id, logprob) the
+        # moment each token is APPENDED on the host (after the fused block
+        # returns, so decode_block trades streaming granularity for speed)
+        self.on_token = on_token
         self._free = list(range(num_slots))
         self._cur = np.zeros((num_slots,), np.int32)     # last token per slot
         self._pos = np.zeros((num_slots,), np.int32)     # next position
@@ -480,6 +485,8 @@ class ServingEngine:
             self.active[slot] = req
             self.generated[req.uid] = [nxt]
             self.logprobs[req.uid] = [lp0]
+            if self.on_token is not None:
+                self.on_token(req.uid, nxt, lp0)
             self._cur[slot] = nxt
             self._pos[slot] = true_len
             # Never let a slot write past max_seq: dynamic_update_slice would
@@ -586,6 +593,8 @@ class ServingEngine:
             req = self.active[slot]
             self.generated[req.uid].append(tok)
             self.logprobs[req.uid].append(float(lps[slot]))
+            if self.on_token is not None:
+                self.on_token(req.uid, tok, float(lps[slot]))
             self._cur[slot] = tok
             self._remaining[slot] -= 1
             if self._remaining[slot] <= 0 or tok == req.eos_token:
@@ -625,6 +634,9 @@ class ServingEngine:
                 if acts[step_d, slot]:
                     gen.append(int(toks[step_d, slot]))
                     lpl.append(float(lps[step_d, slot]))
+                    if self.on_token is not None:
+                        self.on_token(req.uid, int(toks[step_d, slot]),
+                                      float(lps[step_d, slot]))
             if not final_active[slot]:
                 self._retire(slot)
         return len(self.active)

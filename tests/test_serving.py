@@ -140,6 +140,23 @@ class TestEngine:
             ref = float(lsm[len(prompt) - 1 + i, tok])
             assert abs(ref - lp) < 0.15, (i, tok, lp, ref)  # bf16 cross-program
 
+    def test_on_token_streaming_callback(self, setup):
+        """on_token fires once per generated token, in order, with the same
+        (token, logprob) the engine records."""
+        cfg, model = setup
+        seen = []
+        eng = make_engine(
+            cfg, model, num_slots=2, prefill_bucket=8, decode_block=2,
+            on_token=lambda uid, tok, lp: seen.append((uid, tok, lp)),
+        )
+        eng.submit(GenerationRequest(uid=0, prompt=[1, 2, 3], max_new_tokens=4))
+        eng.submit(GenerationRequest(uid=1, prompt=[9], max_new_tokens=3))
+        out = eng.run()
+        for uid in (0, 1):
+            stream = [(t, lp) for u, t, lp in seen if u == uid]
+            assert [t for t, _ in stream] == out[uid]
+            assert [lp for _, lp in stream] == eng.finished_logprobs[uid]
+
     def test_cancel_queued_and_active(self, setup):
         cfg, model = setup
         eng = make_engine(cfg, model, num_slots=1, prefill_bucket=8)
