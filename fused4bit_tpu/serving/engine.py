@@ -99,6 +99,9 @@ class ServingEngine:
         num_pages: Optional[int] = None,
         prefix_caching: bool = True,
         on_token=None,
+        draft_model=None,
+        draft_cfg=None,
+        spec_gamma: int = 4,
     ):
         """`mesh`: run every forward through the fully sharded model step
         (DP batch x EP experts, `parallel.sharded_model`). The model must
@@ -198,6 +201,36 @@ class ServingEngine:
         # moment each token is APPENDED on the host (after the fused block
         # returns, so decode_block trades streaming granularity for speed)
         self.on_token = on_token
+
+        # Speculative continuous batching: a draft model turns each decode
+        # dispatch pair (draft-gamma scan + one verify forward) into
+        # 1..gamma+1 tokens PER SLOT, with per-slot acceptance — rejected
+        # positions disowned by per-row cache-length rollback exactly as in
+        # serving.speculative. Greedy only (acceptance math is argmax
+        # agreement); incompatible with decode_block>1 (speculation IS the
+        # fused block), mesh, and paged KV (draft cache paging: future).
+        self.draft_model = draft_model
+        if draft_model is not None:
+            from .speculative import SpeculativeDecoder, SpecStats
+
+            if decode_block > 1:
+                raise ValueError("draft_model replaces decode_block; use one")
+            if mesh is not None or paged:
+                raise ValueError(
+                    "speculative serving is single-chip contiguous-cache for now"
+                )
+            if sampler.temperature != 0.0:
+                raise ValueError(
+                    "speculative serving is greedy-only (temperature=0)"
+                )
+            self.draft_cfg = draft_cfg or cfg
+            self._spec = SpeculativeDecoder(
+                model, draft_model, cfg, self.draft_cfg, gamma=spec_gamma,
+            )
+            self.spec_stats = SpecStats()
+            self.draft_caches = draft_model.init_cache(
+                self.draft_cfg, num_slots, max_seq
+            )
         self._free = list(range(num_slots))
         self._cur = np.zeros((num_slots,), np.int32)     # last token per slot
         self._pos = np.zeros((num_slots,), np.int32)     # next position
@@ -467,6 +500,12 @@ class ServingEngine:
                     self.model, self.caches, jnp.asarray(padded),
                     jnp.int32(slot), jnp.int32(start),
                 )
+                if self.draft_model is not None:
+                    _, self.draft_caches = self._prefill(
+                        self.draft_model, self.draft_caches,
+                        jnp.asarray(padded), jnp.int32(slot),
+                        jnp.int32(start),
+                    )
             # rewind slot length to the real prompt length
             self.caches = tuple(
                 dataclasses.replace(
@@ -474,6 +513,13 @@ class ServingEngine:
                 )
                 for c in self.caches
             )
+            if self.draft_model is not None:
+                self.draft_caches = tuple(
+                    dataclasses.replace(
+                        c, lengths=c.lengths.at[slot].set(true_len)
+                    )
+                    for c in self.draft_caches
+                )
             # First generated token goes through the configured sampler too
             # (round-1 review: hardcoded argmax silently bypassed temperature
             # sampling for token 0 of every request).
@@ -493,6 +539,9 @@ class ServingEngine:
             # silently clamp and corrupt the cache tail. Budget = positions
             # left after the prompt, minus 1 for the step in flight.
             reserved = self.prefill_bucket if self.mesh is not None else 0
+            if self.draft_model is not None:
+                # a spec round writes up to gamma+1 positions past `pos`
+                reserved += self._spec.gamma + 1
             budget = self.max_seq - true_len - 1 - reserved
             self._remaining[slot] = min(req.max_new_tokens - 1, budget)
             if self._remaining[slot] <= 0 or nxt == req.eos_token:
@@ -503,6 +552,16 @@ class ServingEngine:
         self.finished[req.uid] = self.generated.pop(req.uid)
         self.finished_logprobs[req.uid] = self.logprobs.pop(req.uid, [])
         self.caches = tuple(c.reset_slot(slot) for c in self.caches)
+        if self.draft_model is not None:
+            self.draft_caches = tuple(
+                c.reset_slot(slot) for c in self.draft_caches
+            )
+            # park the retired slot at position 0: spec rounds write
+            # [pos, pos+gamma+1) for EVERY row, and a stale pos near
+            # max_seq would silently clamp (the junk at [0, gamma+2) is
+            # overwritten by the slot's next prefill from position 0)
+            self._pos[slot] = 0
+            self._cur[slot] = 0
         if self.paged:
             for p in self._slot_pages.pop(slot, ()):
                 self._page_refs[p] -= 1
@@ -574,6 +633,8 @@ class ServingEngine:
         self._admit()
         if not self.active:
             return 0
+        if self.draft_model is not None:
+            return self._step_spec()
         if self.decode_block > 1:
             return self._step_block()
         active_mask = np.zeros((self.num_slots,), bool)
@@ -638,6 +699,71 @@ class ServingEngine:
                         self.on_token(req.uid, int(toks[step_d, slot]),
                                       float(lps[step_d, slot]))
             if not final_active[slot]:
+                self._retire(slot)
+        return len(self.active)
+
+    def _step_spec(self) -> int:
+        """One speculative round for every active slot: draft gamma tokens
+        (one scan dispatch on the draft), verify them in ONE target forward,
+        append each slot's accepted prefix + correction/bonus token.
+
+        Per-row positions/lengths keep slots with different acceptance
+        counts independent; rejected K/V is disowned by rolling both models'
+        cache lengths back to each row's `pos` at the top of the round (the
+        same masked-junk invariant as serving.speculative). Inactive slots
+        run parked at position 0 and their results are ignored.
+        """
+        active_mask = np.zeros((self.num_slots,), bool)
+        for slot in self.active:
+            active_mask[slot] = True
+        pos_arr = np.where(active_mask, self._pos, 0).astype(np.int32)
+        last = np.where(active_mask, self._cur, 0).astype(np.int32)
+        lengths_now = jnp.asarray(pos_arr)
+        self.draft_caches = tuple(
+            dataclasses.replace(c, lengths=lengths_now)
+            for c in self.draft_caches
+        )
+        self.caches = tuple(
+            dataclasses.replace(c, lengths=lengths_now) for c in self.caches
+        )
+        self.draft_caches, d_toks = self._spec._draft_round(
+            self.draft_model, self.draft_caches,
+            jnp.asarray(last), jnp.asarray(pos_arr),
+        )
+        self.caches, n, emitted, lp_d, lp_e = self._spec._verify(
+            self.model, self.caches, jnp.asarray(last), d_toks,
+            jnp.asarray(pos_arr),
+        )
+        d_np = np.asarray(d_toks)
+        n_np = np.asarray(n)
+        e_np = np.asarray(emitted)
+        lpd_np = np.asarray(lp_d)
+        lpe_np = np.asarray(lp_e)
+        g = self._spec.gamma
+        self.spec_stats.rounds += 1
+        for slot in list(self.active):
+            req = self.active[slot]
+            self.spec_stats.drafted += g
+            self.spec_stats.accepted += int(n_np[slot])
+            new = [int(x) for x in d_np[slot, : n_np[slot]]] + [int(e_np[slot])]
+            lps = [float(x) for x in lpd_np[slot, : n_np[slot]]] + [
+                float(lpe_np[slot])
+            ]
+            kept = 0
+            done = False
+            for tok, lp in zip(new, lps):
+                self.generated[req.uid].append(tok)
+                self.logprobs[req.uid].append(lp)
+                if self.on_token is not None:
+                    self.on_token(req.uid, tok, lp)
+                kept += 1
+                self._remaining[slot] -= 1
+                if tok == req.eos_token or self._remaining[slot] <= 0:
+                    done = True
+                    break
+            self._cur[slot] = self.generated[req.uid][-1]
+            self._pos[slot] = pos_arr[slot] + kept
+            if done:
                 self._retire(slot)
         return len(self.active)
 

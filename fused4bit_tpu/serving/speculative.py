@@ -122,7 +122,17 @@ class SpeculativeDecoder:
         all_ok = jnp.all(match, axis=1)
         n = jnp.where(all_ok, g, jnp.argmin(match, axis=1))     # [B]
         emitted = jnp.take_along_axis(preds, n[:, None], axis=1)[:, 0]
-        return caches, n, emitted
+        # per-candidate target logprobs: drafts d_{i+1} score at offset i;
+        # the emitted correction/bonus scores at offset n
+        lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        lp_drafts = jnp.take_along_axis(
+            lsm[:, :g], d_toks[:, :, None], axis=2
+        )[..., 0]                                               # [B, g]
+        lsm_at_n = jnp.take_along_axis(lsm, n[:, None, None], axis=1)[:, 0]
+        lp_emitted = jnp.take_along_axis(
+            lsm_at_n, emitted[:, None], axis=1
+        )[:, 0]                                                 # [B]
+        return caches, n, emitted, lp_drafts, lp_emitted
 
     def _prefill_impl(self, target, draft, caches_t, caches_d, tokens, lengths):
         """Right-padded batch prefill of both models; returns the first
@@ -207,7 +217,7 @@ class SpeculativeDecoder:
             caches_d, d_toks = self._draft_round(
                 self.draft, caches_d, jnp.asarray(last), jnp.asarray(pos)
             )
-            caches_t, n, emitted = self._verify(
+            caches_t, n, emitted, _, _ = self._verify(
                 self.target, caches_t, jnp.asarray(last), d_toks,
                 jnp.asarray(pos),
             )

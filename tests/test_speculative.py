@@ -130,6 +130,98 @@ class TestSpeculative:
         for p, o in zip(prompts, out):
             assert_greedy_trajectory(target, cfg, p, o)
 
+    def test_engine_speculative_continuous_batching(self, models):
+        """ServingEngine(draft_model=...): speculative rounds drive the
+        slot loop — more requests than slots, per-slot acceptance, greedy
+        trajectories, logprobs aligned with tokens."""
+        from fused4bit_tpu.serving import GenerationRequest, ServingEngine
+
+        cfg, target, _ = models
+        import dataclasses as dc
+
+        noise = 5e-4 * jax.random.normal(
+            jax.random.PRNGKey(3), target.embed.shape, target.embed.dtype
+        )
+        draft = dc.replace(target, embed=target.embed + noise)
+        eng = ServingEngine(
+            target, cfg, num_slots=2, max_seq=64, prefill_bucket=8,
+            draft_model=draft, spec_gamma=3,
+        )
+        prompts = {0: [1, 2, 3], 1: [9, 4], 2: [5, 6, 7, 8]}
+        for uid, p in prompts.items():
+            eng.submit(GenerationRequest(uid=uid, prompt=p, max_new_tokens=7))
+        out = eng.run()
+        assert set(out) == {0, 1, 2}
+        assert all(len(v) == 7 for v in out.values())
+        assert eng.spec_stats.rounds > 0
+        for uid, p in prompts.items():
+            assert_greedy_trajectory(target, cfg, p, out[uid])
+            lps = eng.finished_logprobs[uid]
+            assert len(lps) == 7 and all(x <= 0.0 for x in lps)
+
+    def test_engine_self_draft_matches_plain_engine(self, models):
+        """With draft == target every round accepts gamma+1 tokens and the
+        outputs match the plain engine's greedy results token-for-token
+        (same compiled-program families up to the documented near-tie
+        wobble — assert first token + lengths, trajectory property)."""
+        from fused4bit_tpu.serving import GenerationRequest, ServingEngine
+
+        cfg, target, _ = models
+        eng = ServingEngine(
+            target, cfg, num_slots=2, max_seq=64, prefill_bucket=8,
+            draft_model=target, spec_gamma=3,
+        )
+        plain = ServingEngine(
+            target, cfg, num_slots=2, max_seq=64, prefill_bucket=8,
+        )
+        for e in (eng, plain):
+            e.submit(GenerationRequest(uid=0, prompt=[1, 2, 3], max_new_tokens=8))
+            e.submit(GenerationRequest(uid=1, prompt=[7, 7], max_new_tokens=6))
+        out_s, out_p = eng.run(), plain.run()
+        assert eng.spec_stats.acceptance_rate == 1.0
+        for uid in (0, 1):
+            assert len(out_s[uid]) == len(out_p[uid])
+            assert out_s[uid][0] == out_p[uid][0]
+            assert_greedy_trajectory(
+                target, cfg, [1, 2, 3] if uid == 0 else [7, 7], out_s[uid]
+            )
+
+    def test_engine_spec_eos_stops(self, models):
+        from fused4bit_tpu.serving import GenerationRequest, ServingEngine
+
+        cfg, target, _ = models
+        eng = ServingEngine(
+            target, cfg, num_slots=1, max_seq=64, prefill_bucket=8,
+            draft_model=target, spec_gamma=3,
+        )
+        eng.submit(GenerationRequest(uid=0, prompt=[1, 2], max_new_tokens=10))
+        ref = eng.run()[0]
+        eos = ref[3]
+        eng2 = ServingEngine(
+            target, cfg, num_slots=1, max_seq=64, prefill_bucket=8,
+            draft_model=target, spec_gamma=3,
+        )
+        eng2.submit(GenerationRequest(uid=0, prompt=[1, 2], max_new_tokens=10,
+                                      eos_token=eos))
+        out = eng2.run()[0]
+        assert eos in out and out[out.index(eos):] == [eos]
+
+    def test_engine_spec_mode_validation(self, models):
+        from fused4bit_tpu.serving import Sampler, ServingEngine
+
+        cfg, target, draft = models
+        with pytest.raises(ValueError, match="decode_block"):
+            ServingEngine(target, cfg, num_slots=1, max_seq=64,
+                          prefill_bucket=8, draft_model=draft, decode_block=4)
+        with pytest.raises(ValueError, match="greedy"):
+            ServingEngine(target, cfg, num_slots=1, max_seq=64,
+                          prefill_bucket=8, draft_model=draft,
+                          sampler=Sampler(temperature=1.0))
+        with pytest.raises(ValueError, match="single-chip"):
+            ServingEngine(target, cfg, num_slots=1, max_seq=64,
+                          prefill_bucket=8, draft_model=draft, paged=True,
+                          page_size=16)
+
     def test_vocab_mismatch_raises(self, models):
         cfg, target, draft = models
         import dataclasses
