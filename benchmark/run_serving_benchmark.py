@@ -48,6 +48,11 @@ def main(argv=None):
     p.add_argument("--num-pages", type=int, default=None,
                    help="pool size; default = contiguous-equivalent; set "
                         "lower to exercise admission control")
+    p.add_argument("--spec-draft", default=None, choices=["self", "tiny"],
+                   help="speculative continuous batching: draft = the target "
+                        "itself (acceptance 1.0 upper bound) or an "
+                        "independent tiny model (random-weights floor)")
+    p.add_argument("--spec-gamma", type=int, default=4)
     p.add_argument("--json", default=None)
     args = p.parse_args(argv)
 
@@ -62,10 +67,24 @@ def main(argv=None):
     elif args.mode == "u4_turbo":
         from fused4bit_tpu.models.transformer import as_u4_turbo
         model = as_u4_turbo(model)
+    spec_kw = {}
+    if args.spec_draft:
+        from fused4bit_tpu.models.config import flagship_model_config as _f
+        if args.spec_draft == "self":
+            draft, dcfg = model, cfg
+        else:
+            import dataclasses as _dc
+            # draft must share the target's vocabulary
+            dcfg = _dc.replace(_f("tiny"), vocab_size=cfg.vocab_size)
+            draft = QuantizedTransformer.init(jax.random.PRNGKey(7), dcfg)
+        spec_kw = dict(draft_model=draft, draft_cfg=dcfg,
+                       spec_gamma=args.spec_gamma)
+        args.decode_block = 1
     eng = ServingEngine(
         model, cfg, num_slots=args.slots, max_seq=args.max_seq,
         prefill_bucket=args.prefill_bucket, decode_block=args.decode_block,
         paged=args.paged, page_size=args.page_size, num_pages=args.num_pages,
+        **spec_kw,
     )
     rng = np.random.default_rng(0)
     total_new = 0
@@ -106,7 +125,16 @@ def main(argv=None):
         )
         if args.paged:
             key += f"_paged{args.page_size}"
+        if args.spec_draft:
+            key += f"_spec_{args.spec_draft}_g{args.spec_gamma}"
+            data_extra = {
+                "acceptance_rate": round(eng.spec_stats.acceptance_rate, 3),
+                "spec_rounds": eng.spec_stats.rounds,
+            }
+        else:
+            data_extra = {}
         data[key] = {
+            **data_extra,
             "generated_tokens_per_s": round(produced / dt, 1),
             "requests": len(out), "tokens": produced, "slots": args.slots,
             "decode_block": args.decode_block,
