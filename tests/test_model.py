@@ -147,6 +147,45 @@ class TestModel:
         assert logits.shape == (1, 1, cfg.vocab_size)
 
 
+class TestDenseFFNFamily:
+    def test_single_expert_block_is_dense_swiglu_ffn(self):
+        """Llama-family (dense FFN) support: with num_experts=1/top_k=1 the
+        MoE block degenerates exactly to a dense SwiGLU FFN — router weight
+        softmaxes to 1.0 and dispatch/combine are identity — so the same
+        INT4 kernels serve dense-decoder geometries with no separate code
+        path. Checked against hand-computed dequantized dense math."""
+        from fused4bit_tpu.models.transformer import MoEBlock
+        from fused4bit_tpu.quant.core import dequantize
+
+        h, ffn = 128, 256
+        blk = MoEBlock.init(jax.random.PRNGKey(0), 1, h, ffn, 1)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, h), jnp.float32)
+        y = blk(x)
+        wg = dequantize(blk.w_gate.weight, dtype=jnp.float32)[0]  # [ffn, h]
+        wu = dequantize(blk.w_up.weight, dtype=jnp.float32)[0]
+        wd = dequantize(blk.w_down.weight, dtype=jnp.float32)[0]  # [h, ffn]
+        hsw = jax.nn.silu(x @ wg.T) * (x @ wu.T)
+        ref = hsw @ wd.T
+        rel = float(jnp.linalg.norm(y - ref) / jnp.linalg.norm(ref))
+        assert rel < 2e-2, rel  # kernel ladder (bf16 compute budget)
+
+    def test_single_expert_model_decodes(self):
+        import dataclasses
+
+        cfg = flagship_model_config("tiny")
+        cfg = dataclasses.replace(
+            cfg, moe=dataclasses.replace(cfg.moe, num_experts=1, top_k=1)
+        )
+        model = QuantizedTransformer.init(jax.random.PRNGKey(0), cfg)
+        caches = model.init_cache(cfg, 2, 16)
+        toks = jnp.array([[1, 2, 3], [4, 5, 6]], jnp.int32)
+        pos = jnp.broadcast_to(jnp.arange(3)[None], (2, 3))
+        logits, caches = model(toks, caches, pos)
+        nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
+        logits1, _ = model(nxt, caches, jnp.full((2, 1), 3, jnp.int32))
+        assert logits1.shape == (2, 1, cfg.vocab_size)
+
+
 class TestDenseTwin:
     """INT4 model vs its dequantized dense twin: same function, two engines."""
 
