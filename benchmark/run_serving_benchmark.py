@@ -69,13 +69,14 @@ def main(argv=None):
         model = as_u4_turbo(model)
     spec_kw = {}
     if args.spec_draft:
-        from fused4bit_tpu.models.config import flagship_model_config as _f
         if args.spec_draft == "self":
             draft, dcfg = model, cfg
         else:
             import dataclasses as _dc
             # draft must share the target's vocabulary
-            dcfg = _dc.replace(_f("tiny"), vocab_size=cfg.vocab_size)
+            dcfg = _dc.replace(
+                flagship_model_config("tiny"), vocab_size=cfg.vocab_size
+            )
             draft = QuantizedTransformer.init(jax.random.PRNGKey(7), dcfg)
         spec_kw = dict(draft_model=draft, draft_cfg=dcfg,
                        spec_gamma=args.spec_gamma)

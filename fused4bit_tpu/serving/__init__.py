@@ -35,7 +35,7 @@ def generate(
     """
     n = len(prompts)
     if n == 0:
-        return []
+        return ([], []) if return_logprobs else []
     slots = num_slots or min(n, 8)
     from .engine import Sampler
 

@@ -239,6 +239,15 @@ class ServingEngine:
 
         if decode_block < 1:
             raise ValueError(f"decode_block must be >= 1, got {decode_block}")
+        # token-0 logprob runs OUTSIDE the prefill program; jit it so each
+        # admission pays one compiled dispatch, not an eager op chain
+        # (~3 ms per dispatch on this platform — review finding)
+        self._logprob0 = jax.jit(self._logprob_of)
+        # cancel() called from inside an on_token callback would mutate
+        # self.active while the step loops iterate it (KeyError) — defer
+        # such cancels to the end of the step (review finding)
+        self._stepping = False
+        self._deferred_cancels: List[int] = []
         self.decode_block = decode_block
         self._decode = jax.jit(self._decode_impl)
         self._decode_blk = jax.jit(self._decode_block_impl)
@@ -385,6 +394,12 @@ class ServingEngine:
             true_len = len(prompt)
             bucket = self.prefill_bucket
             reserved = self.prefill_bucket if self.mesh is not None else 0
+            if self.draft_model is not None:
+                # spec rounds write up to gamma+1 positions past `pos`; keep
+                # the LOUD check and the decode budget consistent (a prompt
+                # that passes validation but gets budget <= 0 would retire
+                # with one token silently — review finding)
+                reserved += self._spec.gamma + 1
             if true_len > self.max_seq - 1 - reserved:
                 # Refusing loudly beats the silent-truncation hole flagged in
                 # round 1 (prompt[-bucket:] generated from a corrupted head).
@@ -525,7 +540,7 @@ class ServingEngine:
             # sampling for token 0 of every request).
             self._key, sub = jax.random.split(self._key)
             nxt = int(self.sampler.sample(logits_all[rem - 1][None, :], sub)[0])
-            lp0 = float(self._logprob_of(
+            lp0 = float(self._logprob0(
                 logits_all[rem - 1][None, :], jnp.asarray([nxt], jnp.int32)
             )[0])
             self.active[slot] = req
@@ -630,6 +645,14 @@ class ServingEngine:
     def step(self) -> int:
         """Admit queued requests, decode `decode_block` tokens for every
         active slot in one compiled dispatch; returns #active."""
+        self._stepping = True
+        try:
+            return self._step_inner()
+        finally:
+            self._stepping = False
+            self._flush_deferred_cancels()
+
+    def _step_inner(self) -> int:
         self._admit()
         if not self.active:
             return 0
@@ -770,7 +793,10 @@ class ServingEngine:
     def cancel(self, uid: int) -> bool:
         """Cancel a request by uid: removed from the queue, or retired
         mid-generation (its tokens so far land in `finished`). Returns
-        whether anything was cancelled."""
+        whether anything was cancelled. Safe to call from an `on_token`
+        callback: active-slot cancels arriving mid-step are deferred to the
+        end of the step (retiring a slot while the step loop iterates it
+        would corrupt the iteration)."""
         for i, r in enumerate(self.queue):
             if r.uid == uid:
                 del self.queue[i]
@@ -779,9 +805,20 @@ class ServingEngine:
                 return True
         for slot, r in list(self.active.items()):
             if r.uid == uid:
-                self._retire(slot)
+                if self._stepping:
+                    if uid not in self._deferred_cancels:
+                        self._deferred_cancels.append(uid)
+                else:
+                    self._retire(slot)
                 return True
         return False
+
+    def _flush_deferred_cancels(self) -> None:
+        for uid in self._deferred_cancels:
+            for slot, r in list(self.active.items()):
+                if r.uid == uid:
+                    self._retire(slot)
+        self._deferred_cancels.clear()
 
     def run(self, max_steps: int = 10_000) -> Dict[int, List[int]]:
         """Drain the queue; returns {uid: generated tokens}."""

@@ -203,14 +203,20 @@ class TestTrainedFixture:
         import subprocess
         import sys as _sys
         import os
+        import tempfile
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        # Write to a TEMP path: the default output is the COMMITTED artifact
+        # and letting every suite run rewrite it silently churned the repo's
+        # published numbers with doc-corpus drift + backend differences
+        # (review finding).
+        out = os.path.join(tempfile.mkdtemp(), "quality.json")
+        env = dict(os.environ, QUALITY_EVAL_OUT=out)
         r = subprocess.run(
             [_sys.executable, os.path.join(repo, "benchmark", "run_quality_eval.py")],
-            capture_output=True, text=True, timeout=1200,
+            capture_output=True, text=True, timeout=1200, env=env,
         )
         assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
-        res = json.load(open(os.path.join(
-            repo, "benchmark", "results", "quality_trained.json")))
+        res = json.load(open(out))
         # trained model is a real LM: far below uniform-random NLL
         assert res["heldout_nll_bf16"] < 0.7 * res["uniform_random_nll"]
         # INT4 quality tracks bf16 on trained weights through the real

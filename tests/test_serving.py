@@ -171,6 +171,28 @@ class TestEngine:
         out = eng.run()
         assert set(out) == {0, 1}
 
+    def test_cancel_from_on_token_callback(self, setup):
+        """Calling cancel() from inside on_token (streaming early-stop, the
+        natural use) must not corrupt the step iteration: the cancel is
+        deferred to the end of the step and every request still finishes."""
+        cfg, model = setup
+        eng = {}
+
+        def cb(uid, tok, lp):
+            if uid == 0 and len(eng["e"].generated.get(0, [])) >= 2:
+                assert eng["e"].cancel(0) is True  # self-cancel mid-step
+            if uid == 1:
+                eng["e"].cancel(0)                 # cross-slot cancel too
+
+        eng["e"] = make_engine(cfg, model, num_slots=2, prefill_bucket=8,
+                               decode_block=2, on_token=cb)
+        eng["e"].submit(GenerationRequest(uid=0, prompt=[1, 2], max_new_tokens=20))
+        eng["e"].submit(GenerationRequest(uid=1, prompt=[5, 6], max_new_tokens=6))
+        out = eng["e"].run()
+        assert set(out) == {0, 1}
+        assert len(out[1]) == 6            # the other request is unaffected
+        assert 1 <= len(out[0]) < 20       # uid 0 stopped early, no crash
+
     def test_top_p_sampler_truncates_nucleus(self, setup):
         """top_p keeps the smallest prefix of the sorted distribution whose
         mass reaches p: with one dominant logit and p below its probability,
