@@ -119,7 +119,16 @@ def main():
                                   granularity="per_group", group_size=64)),
         ("int4_per_tensor", dict(quantize_router=False,
                                  granularity="per_tensor")),
+        # activation-aware equalization (quant/equalize.py): calibration on
+        # the training-corpus HEAD (disjoint from the held-out tail), scales
+        # folded into RMSNorm weights, alpha grid-searched per site
+        ("int4_awq", dict(quantize_router=False, awq_tokens="corpus_head")),
+        ("int4_awq_per_group64", dict(quantize_router=False,
+                                      granularity="per_group", group_size=64,
+                                      awq_tokens="corpus_head")),
     ):
+        if kw.get("awq_tokens") == "corpus_head":
+            kw = dict(kw, awq_tokens=_calibration_tokens())
         model = convert_checkpoint(raw, cfg, **kw)
         lg_q, nll_q = eval_model(model, cfg, tokens)
         flat_q = lg_q.reshape(-1, lg_q.shape[-1])
@@ -144,6 +153,22 @@ def main():
         json.dump(res, f, indent=2)
     print(f"wrote {out}")
     return 0
+
+
+def _calibration_tokens(seq=128, rows=8):
+    """Calibration sample from the training-corpus HEAD (the held-out tail
+    used for eval starts at 90% — no leakage)."""
+    snap = FIXTURE.replace(".safetensors", ".corpus")
+    if os.path.exists(snap):
+        corpus = np.fromfile(snap, np.uint8)
+    else:
+        sys.path.insert(0, os.path.join(REPO, "scripts"))
+        from train_tiny import load_corpus
+        corpus = load_corpus()
+    head = corpus[: int(len(corpus) * 0.9)]
+    hb = head[: (len(head) // seq) * seq].reshape(-1, seq)
+    step = max(1, hb.shape[0] // rows)
+    return hb[::step][:rows].astype(np.int32)
 
 
 def _dense_from_params(raw, cfg):

@@ -82,13 +82,14 @@ def _stack_experts(get: Callable[[int], np.ndarray], num: int) -> QuantizedTenso
 
 
 def convert_safetensors(
-    path: str, cfg: ModelConfig, dtype=jnp.bfloat16
+    path: str, cfg: ModelConfig, dtype=jnp.bfloat16, **kw
 ) -> QuantizedTransformer:
     """Load a .safetensors checkpoint (native reader, models/safetensors_io)
-    and quantize it into an INT4 model."""
+    and quantize it into an INT4 model. Extra kwargs (granularity,
+    awq_tokens, ...) pass through to :func:`convert_checkpoint`."""
     from .safetensors_io import load_safetensors
 
-    return convert_checkpoint(load_safetensors(path), cfg, dtype=dtype)
+    return convert_checkpoint(load_safetensors(path), cfg, dtype=dtype, **kw)
 
 
 def convert_checkpoint(
@@ -100,6 +101,8 @@ def convert_checkpoint(
     quantize_lm_head: bool = True,
     granularity: str = "per_row",
     group_size: int = 128,
+    awq_tokens=None,
+    awq_alpha=None,
 ) -> QuantizedTransformer:
     """Build an INT4 `QuantizedTransformer` from a flat dense-weight dict.
 
@@ -107,9 +110,23 @@ def convert_checkpoint(
     [E, H]-tiny but its argmax decides expert assignment, and quantizing it
     measurably degrades trained-weight top-1 agreement; `quantize_lm_head`
     stays True by default (the [V, H] head is a real memory consumer).
+
+    ``awq_tokens``: optional [B, T] calibration token ids — applies
+    activation-aware equalization (quant/equalize.py) to the dense weights
+    before quantization: per-channel scales folded into the RMSNorm
+    weights, alpha grid-searched per site unless ``awq_alpha`` pins it.
     """
     from ..layers.linear import DenseLinear
     from ..quant.core import quantize as _jq
+
+    if awq_tokens is not None:
+        from ..quant.equalize import awq_equalize_params
+
+        params = awq_equalize_params(
+            params, cfg, awq_tokens,
+            granularity=granularity, group_size=group_size, alpha=awq_alpha,
+            quantize_lm_head=quantize_lm_head,
+        )
 
     def _q(w):
         """Quantize one dense [N, K] weight at the requested granularity."""

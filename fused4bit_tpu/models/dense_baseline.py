@@ -86,10 +86,15 @@ class DenseBlock:
     #     weight-streaming-bound decode regime this baseline serves.
     moe_impl: str = dataclasses.field(metadata=dict(static=True), default="gather")
 
-    def __call__(self, x, cache: DenseKVCache, positions):
+    def __call__(self, x, cache: DenseKVCache, positions, capture=None):
+        """capture: optional list collecting ("attn_in"/"moe_in", h) norm
+        outputs — the calibration tap for activation-aware quantization
+        (quant/equalize.py). Run eagerly when capturing."""
         b, t, _ = x.shape
         nh, nkv, hd = self.num_heads, self.num_kv_heads, self.head_dim
         h = rms_norm(x, self.attn_norm, self.rms_eps)
+        if capture is not None:
+            capture.append(("attn_in", h))
         q = (h @ self.wq.T).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
         k = (h @ self.wk.T).reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
         v = (h @ self.wv.T).reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
@@ -110,6 +115,8 @@ class DenseBlock:
         x = x + attn @ self.wo.T
 
         h = rms_norm(x, self.moe_norm, self.rms_eps)
+        if capture is not None:
+            capture.append(("moe_in", h))
         bt = b * t
         hf = h.reshape(bt, -1)
         routing = topk_route(hf @ self.router.T, self.top_k, self.router.shape[0])
@@ -155,15 +162,17 @@ class DenseTransformer:
             for _ in range(len(self.blocks))
         )
 
-    def __call__(self, tokens, caches, positions):
+    def __call__(self, tokens, caches, positions, capture=None):
         if positions.ndim == 1:
             positions = jnp.broadcast_to(positions[None, :], tokens.shape)
         x = self.embed[tokens]
         new_caches = []
         for blk, cache in zip(self.blocks, caches):
-            x, cache = blk(x, cache, positions)
+            x, cache = blk(x, cache, positions, capture=capture)
             new_caches.append(cache)
         x = rms_norm(x, self.final_norm, self.rms_eps)
+        if capture is not None:
+            capture.append(("final_in", x))
         return x @ self.lm_head.T, tuple(new_caches)
 
     @property
