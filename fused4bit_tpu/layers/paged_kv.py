@@ -127,8 +127,14 @@ class PagedKVCache:
     def assign_pages(self, slot: int, pages) -> "PagedKVCache":
         """Point a slot's table at `pages` (list/array of physical ids);
         entries beyond len(pages) are parked at page 0."""
-        row = jnp.zeros((self.max_pages_per_slot,), jnp.int32)
         pages = jnp.asarray(pages, jnp.int32)
+        if pages.shape[0] > self.max_pages_per_slot:
+            # .at[:n].set silently clamps; refuse loudly instead
+            raise ValueError(
+                f"{pages.shape[0]} pages exceed the table width "
+                f"{self.max_pages_per_slot}"
+            )
+        row = jnp.zeros((self.max_pages_per_slot,), jnp.int32)
         row = row.at[: pages.shape[0]].set(pages)
         return dataclasses.replace(
             self,
