@@ -25,6 +25,7 @@ import functools
 import json
 import sys
 
+import _bootstrap  # noqa: F401  (repo path + persistent compile cache)
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -700,24 +700,26 @@ def _grouped_pg_kernel(
     w_ref,        # [1, TN, K/2] u8 planar
     slo_ref,      # [1, TN, Gh] f32 — this expert's lo-half scales
     zlo_ref,      # [1, TN, Gh] f32 — lo-half zero-points (integer-valued)
-    shi_ref,      # [1, TN, Gh] f32 — hi-half scales
-    zhi_ref,      # [1, TN, Gh] f32 — hi-half zero-points
+    shi16_ref,    # [1, TN, Gh] f32 — hi-half scales / 16
+    chi_ref,      # [1, TN, Gh] f32 — hi-half 128 - 16*zp
     e_ref,        # [Gh, K/2] f32 — 0/1 group->column selection matrix
     o_ref,        # [TM, TN]
     *,
     k_half: int,
     compute_dtype,
 ):
-    # Round-3 structure (same as ops.int4_matmul._int4_group_kernel, see the
-    # design comment there): per-group scales are expanded to per-column
-    # affine coefficient matrices ON THE MXU via the constant 0/1 selection
-    # matrix (exact: one nonzero product per output element), the weight
-    # tile is dequantized with fully static elementwise ops, and ONE fat
-    # full-K/2 dot per half does the matmul — the per_row kernel's DMA and
-    # MXU shape. The round-2 body (2*G skinny dots + 2*G accumulator
-    # rescales) measured 1.6-2.6x slower than per_row; a fori_loop writing
-    # a dequant scratch via dynamic lane offsets cost ~45 stack bytes per
-    # scratch element in Mosaic and OOM'd scoped VMEM.
+    # Same structure as ops.int4_matmul._int4_group_kernel (see the design
+    # comment there): per-group scales are expanded to per-column affine
+    # coefficient matrices ON THE MXU via the constant 0/1 selection matrix
+    # (exact: one nonzero product per output element), the weight tile is
+    # dequantized with fully static elementwise ops, and ONE fat full-K/2
+    # dot per half does the matmul — the per_row kernel's DMA and MXU shape.
+    # Halves are sequenced (expand -> dequant -> dot each) so their [TN, K/2]
+    # temporaries never coexist; the hi-half constants are pre-folded so its
+    # dequant is one add + one multiply. The round-2 body (2*G skinny dots +
+    # 2*G accumulator rescales) measured 1.6-2.6x slower than per_row; a
+    # fori_loop writing a dequant scratch via dynamic lane offsets cost ~45
+    # stack bytes per scratch element in Mosaic and OOM'd scoped VMEM.
     cd = compute_dtype
     prec = (
         jax.lax.Precision.HIGHEST if cd == jnp.float32
@@ -731,20 +733,18 @@ def _grouped_pg_kernel(
             ref[0].astype(cd), e, edims, preferred_element_type=jnp.float32
         ).astype(cd)
 
-    a_lo, z_lo = expand(slo_ref), expand(zlo_ref)
-    a_hi, z_hi = expand(shi_ref), expand(zhi_ref)
-
     p = w_ref[0]
-    q_lo = (p & 0x0F).astype(jnp.int8).astype(cd)
-    vhi = pltpu.bitcast(p & 0xF0, jnp.int8).astype(cd)  # 16*(q_hi - 8)
-    wd_lo = a_lo * (q_lo - z_lo)                  # (q - zp) exact in cd
-    wd_hi = a_hi * (vhi * 0.0625 + (8.0 - z_hi))  # 1/16-multiples: exact
-
     dims = (((1,), (1,)), ((), ()))
+
+    q_lo = (p & 0x0F).astype(jnp.int8).astype(cd)
+    wd_lo = expand(slo_ref) * (q_lo - expand(zlo_ref))  # (q - zp) exact in cd
     acc = jax.lax.dot_general(
         x_ref[:, :k_half].astype(cd), wd_lo, dims,
         preferred_element_type=jnp.float32, precision=prec,
     )
+
+    vhi = pltpu.bitcast(p & 0xF0, jnp.int8).astype(cd)  # 16*(q_hi - 8)
+    wd_hi = expand(shi16_ref) * (vhi + expand(chi_ref))  # == s*(q - zp), exact
     acc += jax.lax.dot_general(
         x_ref[:, k_half:].astype(cd), wd_hi, dims,
         preferred_element_type=jnp.float32, precision=prec,
@@ -767,7 +767,7 @@ def _grouped_pg_padded(
 
     t_pad, k = x_sorted.shape
     e, n, k_half = packed.shape
-    slo, zlo, shi, zhi, eye = _pg_scale_operands(
+    slo, zlo, shi16, chi, eye = _pg_scale_operands(
         scales, zps, k_half, group_size
     )  # each [E, N, Gh]; eye [Gh, K/2]
     gh = slo.shape[-1]
@@ -813,7 +813,7 @@ def _grouped_pg_padded(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t_pad, n), out_dtype),
         interpret=interpret,
-    )(tile_group_ids, x_sorted, packed, slo, zlo, shi, zhi, eye)
+    )(tile_group_ids, x_sorted, packed, slo, zlo, shi16, chi, eye)
 
 
 def grouped_int4_matmul_per_group(
@@ -853,10 +853,10 @@ def grouped_int4_matmul_per_group(
     if out_dtype is None:
         out_dtype = x_sorted.dtype
 
-    # same working-set cap as int4_matmul_per_group: ~6 [TN, K/2]
-    # temporaries; TN*K/2 beyond ~1e6 elements makes Mosaic spill VMEM and
-    # the remote compile pathological.
-    tn_cap = max(128, (1_050_000 // k_half) // 128 * 128)
+    # same working-set cap as int4_matmul_per_group: ~4 [TN, K/2]
+    # temporaries live at peak (sequenced halves); TN*K/2 too large makes
+    # Mosaic spill VMEM and the remote compile pathological.
+    tn_cap = max(128, (1_600_000 // k_half) // 128 * 128)
     tn = tile_n or min(512, tn_cap, _round_up(n, 128))
     if tile_n is None:
         # joint (tile_m-aware) budget, mirroring int4_matmul_per_group: the
@@ -866,7 +866,7 @@ def grouped_int4_matmul_per_group(
         cd_b = 4 if compute_dtype == jnp.float32 else 2
         # shrink in 128-lane multiples only (see int4_matmul_per_group)
         while (
-            tile_m * k * cd_b + 6 * tn * k_half * cd_b
+            tile_m * k * cd_b + 4 * tn * k_half * cd_b
             + gh_pad * k_half * 4 + tn * k_half + tile_m * tn * 4
         ) > 16_000_000 and tn > 128:
             tn = max(128, tn // 2 // 128 * 128)

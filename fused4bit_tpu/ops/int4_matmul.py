@@ -74,27 +74,17 @@ def _on_tpu() -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _unpack_halves(p: jnp.ndarray, zp_col, compute_dtype):
-    """Packed planar bytes [TN, C] -> centered (qlo, vhi) in compute_dtype.
-
-    Mosaic cannot legalize 8-bit shifts or adds, so the unpack uses *masks
-    only* (u8 lane ops), one hardware i8->float convert per half, and a float
-    broadcast-subtract:
-
-      qlo = i8(p & 0x0F) - zp                       == q_lo - zp
-      vhi = i8(p & 0xF0) - 16*(zp - 8)              == 16 * (q_hi - zp)
-
-    The high nibble was stored XOR 8 by ``pack_planar``, so its masked byte
-    reinterpreted as two's-complement int8 is exactly ``16*(q_hi - 8)`` — the
-    caller multiplies the hi dot product by 1/16 (an exact f32 exponent
-    shift). All intermediate values are integers with |v| <= 240, exactly
-    representable in bfloat16.
-    """
-    qlo = (p & 0x0F).astype(jnp.int8).astype(compute_dtype) - zp_col
-    vhi = (p & 0xF0).astype(jnp.int8).astype(compute_dtype) - 16.0 * (
-        zp_col - 8.0
-    ).astype(compute_dtype)
-    return qlo, vhi
+# Unpack scheme (Mosaic cannot legalize 8-bit shifts or adds, so the unpack
+# uses *masks only* on u8 lanes, one hardware i8->float convert per half, and
+# a float broadcast-subtract):
+#
+#   qlo = i8(p & 0x0F) - zp                       == q_lo - zp
+#   vhi = i8(p & 0xF0) - 16*(zp - 8)              == 16 * (q_hi - zp)
+#
+# The high nibble is stored XOR 8 by ``pack_planar``, so its masked byte
+# reinterpreted as two's-complement int8 is exactly ``16*(q_hi - 8)`` — the
+# hi dot product is multiplied by 1/16 (an exact f32 exponent shift). All
+# intermediate values are integers with |v| <= 240, exact in bfloat16.
 
 
 def _int4_matmul_kernel(
@@ -117,7 +107,6 @@ def _int4_matmul_kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     zp_col = z_ref[0, :][:, None].astype(compute_dtype)  # [TN, 1]
-    qlo, vhi = _unpack_halves(w_ref[:], zp_col, compute_dtype)
 
     # Planar layout: byte column c of the k-th tile holds q columns
     # (k*tile_kh + c) [lo nibble] and (k_half + k*tile_kh + c) [hi nibble];
@@ -137,9 +126,20 @@ def _int4_matmul_kernel(
         x_lo = x_ref[:, pl.ds(off, tile_kh)].astype(compute_dtype)
         x_hi = x_ref[:, pl.ds(k_half + off, tile_kh)].astype(compute_dtype)
     dims = (((1,), (1,)), ((), ()))
+    # The unpacked [TN, TKH] compute-dtype temporaries are the VMEM hog
+    # (2 * TN * TKH * 2B in bf16 vs ~16 MB/core total); sequencing each
+    # unpack-then-dot as its own accumulator statement keeps qlo dead before
+    # vhi materializes, halving the peak live temporary set and leaving room
+    # for double-buffered weight blocks (measured in kernel_tile_tune_a16).
+    p = w_ref[:]
+    qlo = (p & 0x0F).astype(jnp.int8).astype(compute_dtype) - zp_col
     acc_ref[:] += jax.lax.dot_general(
         x_lo, qlo, dims, preferred_element_type=jnp.float32, precision=prec
-    ) + 0.0625 * jax.lax.dot_general(
+    )
+    vhi = pltpu.bitcast(p & 0xF0, jnp.int8).astype(compute_dtype) - 16.0 * (
+        zp_col - 8.0
+    )
+    acc_ref[:] += 0.0625 * jax.lax.dot_general(
         x_hi, vhi, dims, preferred_element_type=jnp.float32, precision=prec
     )
 
@@ -383,8 +383,8 @@ def _int4_group_kernel(
     w_ref,        # [TN, K/2] u8 planar (single k-tile)
     slo_ref,      # [TN, Gh] f32 — lo-half scales
     zlo_ref,      # [TN, Gh] f32 — lo-half zero-points (integer-valued)
-    shi_ref,      # [TN, Gh] f32 — hi-half scales
-    zhi_ref,      # [TN, Gh] f32 — hi-half zero-points
+    shi16_ref,    # [TN, Gh] f32 — hi-half scales / 16 (exact exponent shift)
+    chi_ref,      # [TN, Gh] f32 — hi-half 128 - 16*zp (integer-valued)
     e_ref,        # [Gh, K/2] f32 — 0/1 group->column selection matrix
     o_ref,        # [TM, TN]
     *,
@@ -404,20 +404,28 @@ def _int4_group_kernel(
             ref[...].astype(cd), e, edims, preferred_element_type=jnp.float32
         ).astype(cd)
 
-    a_lo, z_lo = expand(slo_ref), expand(zlo_ref)
-    a_hi, z_hi = expand(shi_ref), expand(zhi_ref)
-
     p = w_ref[...]
-    q_lo = (p & 0x0F).astype(jnp.int8).astype(cd)
-    vhi = pltpu.bitcast(p & 0xF0, jnp.int8).astype(cd)  # 16*(q_hi - 8)
-    wd_lo = a_lo * (q_lo - z_lo)                 # (q - zp) exact in cd
-    wd_hi = a_hi * (vhi * 0.0625 + (8.0 - z_hi))  # 1/16-multiples: exact
-
     dims = (((1,), (1,)), ((), ()))
+
+    # Each half runs expand -> dequant -> dot to completion before the other
+    # half's temporaries materialize: the [TN, K/2] compute-dtype arrays are
+    # the VMEM hog, and halving the peak live set is what lets wider tiles
+    # fit (~16 MB/core total).
+    q_lo = (p & 0x0F).astype(jnp.int8).astype(cd)
+    wd_lo = expand(slo_ref) * (q_lo - expand(zlo_ref))  # (q - zp) exact in cd
     acc = jax.lax.dot_general(
         x_ref[:, :k_half].astype(cd), wd_lo, dims,
         preferred_element_type=jnp.float32, precision=prec,
     )
+
+    # hi half: vhi = 16*(q_hi - 8) (planar XOR-8 byte), so
+    #   s*(q - zp) = (s/16) * (vhi + (128 - 16*zp))
+    # with vhi + c integer multiples of 16 in [-240, 240] — exact in bf16 —
+    # and s/16 an exact exponent shift. Both constants fold into the tiny
+    # [TN, Gh] pre-expansion operands, so the big-array work is one add and
+    # one multiply (vs mul+add+sub+mul in the round-3 form).
+    vhi = pltpu.bitcast(p & 0xF0, jnp.int8).astype(cd)
+    wd_hi = expand(shi16_ref) * (vhi + expand(chi_ref))
     acc += jax.lax.dot_general(
         x_ref[:, k_half:].astype(cd), wd_hi, dims,
         preferred_element_type=jnp.float32, precision=prec,
@@ -426,8 +434,12 @@ def _int4_group_kernel(
 
 
 def _pg_scale_operands(scales, zps, k_half, group_size):
-    """Split per-group scale/zp [..., N, G] into lo/hi halves + the 0/1
-    group->column expansion matrix.
+    """Split per-group scale/zp [..., N, G] into the kernel's pre-expansion
+    operands: (s_lo, zp_lo, s_hi/16, 128 - 16*zp_hi) plus the 0/1
+    group->column expansion matrix. The hi-half constants are folded here so
+    the kernel's big-array dequant is one add + one multiply (see
+    `_int4_group_kernel`); both folds are exact (exponent shift / small
+    integers).
 
     The group-count dim is padded to a multiple of 8 (sublane alignment):
     Mosaic 500s on expand-dots whose contraction dim is an odd size like 43
@@ -443,8 +455,9 @@ def _pg_scale_operands(scales, zps, k_half, group_size):
     ).astype(jnp.float32)
     pad = [(0, 0)] * (s.ndim - 1) + [(0, gh_pad - gh)]
     slo, zlo = jnp.pad(s[..., :gh], pad), jnp.pad(z[..., :gh], pad)
-    shi, zhi = jnp.pad(s[..., gh:], pad), jnp.pad(z[..., gh:], pad)
-    return slo, zlo, shi, zhi, eye
+    shi16 = jnp.pad(s[..., gh:] * 0.0625, pad)
+    chi = jnp.pad(128.0 - 16.0 * z[..., gh:], pad)
+    return slo, zlo, shi16, chi, eye
 
 
 @functools.partial(
@@ -459,7 +472,7 @@ def _int4_group_padded(
 ):
     m, k = x.shape
     n, k_half = packed.shape
-    slo, zlo, shi, zhi, eye = _pg_scale_operands(
+    slo, zlo, shi16, chi, eye = _pg_scale_operands(
         scales, zps, k_half, group_size
     )
     gh = slo.shape[-1]
@@ -487,7 +500,7 @@ def _int4_group_padded(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(x, packed, slo, zlo, shi, zhi, eye)
+    )(x, packed, slo, zlo, shi16, chi, eye)
 
 
 def int4_matmul_per_group(
@@ -526,19 +539,19 @@ def int4_matmul_per_group(
     m_pad = max(_round_up(m, 8), 8)
     tile_m = m_pad if m_pad <= 256 else 256
     m_pad = _round_up(m_pad, tile_m)
-    # The expansion design materializes ~6 [TN, K/2]-sized temporaries; keep
-    # TN*K/2 at or below the proven 512x2048 working set or Mosaic's VMEM
-    # spilling makes the remote compile pathological (>25 min observed at
-    # [512, 5504], the flagship down-projection).
-    tn_cap = max(128, (1_050_000 // k_half) // 128 * 128)
+    # The sequenced-halves kernel keeps ~4 [TN, K/2]-sized temporaries live
+    # at peak (expand pair + unpacked q + dequantized wd of ONE half); keep
+    # TN*K/2 bounded or Mosaic's VMEM spilling makes the remote compile
+    # pathological (>25 min observed at [512, 5504] with the round-3 6-live
+    # form).
+    tn_cap = max(128, (1_600_000 // k_half) // 128 * 128)
     tn = tile_n or min(512, tn_cap, _round_up(n, 128))
     if tile_n is None:
-        # Full working-set budget: x block + ~6 compute-dtype temporaries +
-        # selection matrix + w block must fit scoped VMEM. The known-good
-        # flagship configs (up [512, 2048] ~13 MB, down [128, 5504] ~16 MB)
-        # sit just under 16 MB with bf16 temporaries; clamp only combos that
-        # blow past it (TN floor 64 sublanes, then TM) so prefill-sized TM
-        # with a wide TN can never re-create the [512, 5504] pathology.
+        # Full working-set budget: x block + ~4 compute-dtype temporaries +
+        # selection matrix + w block must fit scoped VMEM (~16 MB/core);
+        # clamp combos that blow past it (TN floor 64 sublanes, then TM) so
+        # prefill-sized TM with a wide TN can never re-create the
+        # [512, 5504] pathology.
         gh_pad = _round_up(k_half // gs, 8)
         budget = 16_000_000
         cd_b = 4 if compute_dtype == jnp.float32 else 2
@@ -546,7 +559,7 @@ def int4_matmul_per_group(
         def ws(tm, tn_):
             return (
                 tm * k * cd_b             # x block
-                + 6 * tn_ * k_half * cd_b  # expand/dequant temporaries
+                + 4 * tn_ * k_half * cd_b  # expand/dequant temporaries
                 + gh_pad * k_half * 4     # selection matrix
                 + tn_ * k_half            # packed w block
                 + tm * tn_ * 4            # accumulator/out
