@@ -1,0 +1,292 @@
+#!/usr/bin/env python
+"""Device-trace bandwidth probe: exact per-op kernel times from the profiler.
+
+Supersedes the wall-clock chain-slope probes (`probe_kernel_bw.py`,
+`probe_tile_ab.py`): round-4 replication showed 2-4x trial-to-trial variance
+in the slope protocol on this platform (host dispatch jitter corrupting
+either slope endpoint), while `jax.profiler` traces carry per-op *device*
+durations with picosecond resolution (`utils/device_profile.py`) that
+reproduce to ±0.1%.
+
+Honesty rules discovered while building this (round 4):
+
+* This platform has a fast memory tier + cross-program prefetch that serves
+  weight operands up to a ~64-128 MB working set at 1.2-2.3 TB/s (measured:
+  a 32 MB dense chain reads 2258 GB/s, converging to ~710-750 GB/s — true
+  HBM rate — beyond 256 MB). Every chain here therefore streams
+  ``REPEAT=12`` DISTINCT weights (~270 MB packed), so numbers reflect
+  HBM-resident weights like a real model's.
+* Weights are pre-padded to the tile multiple OUTSIDE the jit: an in-graph
+  ``jnp.pad`` both adds hot-path cost and re-materializes the operand where
+  the fast tier can serve it (measured: the padded-operand kernel "read"
+  23 MB in 19.5 us = 1.2 TB/s).
+* Dense-yardstick outputs are consumed via a full-row reduction folded into
+  the carry; a bare ``out[:, :k]`` slice lets XLA dead-code-eliminate 2/3 of
+  the flagship up-projection (measured "1928 GB/s").
+* The headline metric is XLA-module device time / links — everything the
+  impl executes, not just its custom call. Kernel-op time is reported
+  alongside (they agree when the wrapper adds no glue).
+
+Measures, per projection direction of the flagship linear pair
+(4096 -> 11008 "up", 11008 -> 4096 "down"; reference
+`/root/reference/benchmark/run_benchmark.py:54-58`): w4a16 / w4a8 / pg128
+kernels across tile_n, dense bf16 and int8-resident XLA yardsticks, and the
+zero-compute Pallas stream ceiling. Writes benchmark/results/device_bw.json.
+"""
+import argparse
+import dataclasses
+import json
+import os
+
+import _bootstrap  # noqa: F401
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fused4bit_tpu.ops.int4_matmul import (
+    _round_up,
+    int4_matmul,
+    int4_matmul_a8,
+    int4_matmul_per_group,
+)
+from fused4bit_tpu.quant.core import dequantize, quantize
+from fused4bit_tpu.utils.device_profile import device_op_times
+
+REPEAT = 12  # distinct weights per chain: 12 x ~22.6 MB packed = ~270 MB
+
+
+def build(k, n, pg=False, seed=0):
+    key = jax.random.PRNGKey(seed)
+    qs = []
+    for _ in range(REPEAT):
+        key, k1 = jax.random.split(key)
+        w = jax.random.normal(k1, (n, k), jnp.float32) * (k ** -0.5)
+        kwargs = (
+            dict(granularity="per_group", group_size=128, layout="planar")
+            if pg else dict(granularity="per_row", layout="planar")
+        )
+        qs.append(quantize(w, **kwargs))
+    return qs
+
+
+def pad_qt(qt, tn):
+    """Pad out_dim to a tile_n multiple OUTSIDE the timed graph."""
+    n, k = qt.out_dim, qt.in_dim
+    n_pad = _round_up(n, tn)
+    if n_pad == n:
+        return qt
+    pw = [(0, n_pad - n)] + [(0, 0)] * (qt.packed.ndim - 1)
+    ps = [(0, n_pad - n)] + [(0, 0)] * (qt.scales.ndim - 1)
+    return dataclasses.replace(
+        qt,
+        packed=jnp.pad(qt.packed, pw),
+        scales=jnp.pad(qt.scales, ps),
+        zero_points=jnp.pad(qt.zero_points, ps),
+        shape=(n_pad, k),
+    )
+
+
+def _fold(out, k, n):
+    """[m, >=n] -> [m, k] nonlinearly, CONSUMING every output column."""
+    if out.shape[1] >= k:
+        return jnp.sin(
+            out[:, :k] + 1e-6 * jnp.sum(out, axis=1, keepdims=True)
+        )
+    return jnp.sin(jnp.pad(out, ((0, 0), (0, k - out.shape[1]))))
+
+
+def flatten(qs):
+    out = []
+    for q in qs:
+        out.extend([q.packed, q.scales, q.zero_points])
+    return out
+
+
+def chain_fn(call, template, k, **kw):
+    @jax.jit
+    def f(x, *flat):
+        per = len(flat) // REPEAT
+        y = x
+        for i in range(REPEAT):
+            leaves = flat[i * per:(i + 1) * per]
+            q = dataclasses.replace(
+                template, packed=leaves[0], scales=leaves[1],
+                zero_points=leaves[2],
+            )
+            y = _fold(call(y, q, **kw), k, template.out_dim)
+        return y
+
+    return f
+
+
+def measure(run, *substr, traces=3):
+    """(module_ms/link, matched_op_ms/instance) min over traces."""
+    run()  # warm/compile
+    mod_best = op_best = None
+    for _ in range(traces):
+        prof = device_op_times(run)
+        mod = min(v.total_ms for v in prof.by_module.values()) / REPEAT
+        mod_best = mod if mod_best is None or mod < mod_best else mod_best
+        if substr:
+            cnt = prof.matching_count(*substr)
+            if cnt:
+                op = prof.matching_ms(*substr) / cnt
+                op_best = op if op_best is None or op < op_best else op_best
+    return mod_best, op_best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--m", type=int, default=32)
+    ap.add_argument("--k", type=int, default=4096)
+    ap.add_argument("--n", type=int, default=11008)
+    ap.add_argument("--traces", type=int, default=3)
+    ap.add_argument("--impls", nargs="*", default=None)
+    ap.add_argument("--up-tiles", type=int, nargs="*",
+                    default=[256, 512, 1024, 2048])
+    ap.add_argument("--dn-tiles", type=int, nargs="*",
+                    default=[128, 256, 384, 512])
+    ap.add_argument("--out", default="benchmark/results/device_bw.json")
+    args = ap.parse_args()
+
+    m = args.m
+    results = {}
+    if os.path.exists(args.out):  # merge partial runs
+        try:
+            with open(args.out) as f:
+                results = json.load(f).get("results", {})
+        except Exception:
+            pass
+
+    doc = {
+        "shape": {"m": m, "k": args.k, "n": args.n},
+        "protocol": (
+            f"jax.profiler device-op durations; {REPEAT} distinct "
+            "HBM-resident weights per jit (~270 MB, defeats the fast-tier/"
+            "prefetch working set), weights pre-padded outside the graph, "
+            f"min over {args.traces} traces. per-link = module device time "
+            "/ links; kernel = custom-call device time / instances."
+        ),
+        "device": str(jax.devices()[0]),
+        "results": results,
+    }
+
+    def log(direction, name, mod_ms, op_ms, wbytes):
+        gbps = wbytes / (mod_ms / 1e3) / 1e9
+        results.setdefault(direction, {})[name] = {
+            "per_link_ms": round(mod_ms, 5),
+            "kernel_ms": round(op_ms, 5) if op_ms else None,
+            "weight_gbps": round(gbps, 1),
+        }
+        print(f"{direction:<5} {name:<16} link {mod_ms*1e3:8.2f} us  "
+              f"kernel {op_ms*1e3 if op_ms else float('nan'):8.2f} us  "
+              f"{gbps:7.1f} GB/s", flush=True)
+        with open(args.out, "w") as f:
+            json.dump(doc, f, indent=1)
+
+    for direction, (k, n) in (("up", (args.k, args.n)),
+                              ("down", (args.n, args.k))):
+        x = jax.random.normal(
+            jax.random.PRNGKey(9), (m, k), jnp.float32
+        ).astype(jnp.bfloat16)
+        wbytes = n * k // 2 + 8 * n
+        qs = build(k, n)
+        want = lambda s: not args.impls or s in args.impls  # noqa: E731
+
+        if want("xla_bf16"):
+            wd = [dequantize(q, dtype=jnp.bfloat16).T for q in qs]
+
+            @jax.jit
+            def fb(x, *ws):
+                y = x
+                for w in ws:
+                    y = _fold(jnp.dot(y, w), k, n)
+                return y
+
+            mod, _ = measure(lambda: np.asarray(fb(x, *wd)),
+                             traces=args.traces)
+            log(direction, "xla_bf16", mod, None, 2 * n * k)
+
+        if want("xla_i8"):
+            from fused4bit_tpu.ops.int8_xla import int8_linear, to_int8_resident
+            w8 = [to_int8_resident(q) for q in qs]
+            w8flat = []
+            for w in w8:
+                w8flat.extend(jax.tree.leaves(w))
+            tpl = w8[0]
+
+            @jax.jit
+            def fi(x, *flatw):
+                per_ = len(flatw) // REPEAT
+                y = x
+                for i in range(REPEAT):
+                    leaves = flatw[i * per_:(i + 1) * per_]
+                    wq = jax.tree.unflatten(jax.tree.structure(tpl), leaves)
+                    y = _fold(int8_linear(y, wq), k, n)
+                return y
+
+            mod, _ = measure(lambda: np.asarray(fi(x, *w8flat)),
+                             traces=args.traces)
+            log(direction, "xla_i8", mod, None, n * k + 4 * n)
+
+        if want("stream_u4"):
+            from probe_kernel_bw import _stream_u4
+            n_pad = _round_up(n, 1024)
+            pk = [jnp.pad(q.packed, ((0, n_pad - n), (0, 0))) for q in qs]
+            x8 = x[:8, :128]
+
+            @jax.jit
+            def fs(x8, *ps):
+                acc = x8
+                for p in ps:
+                    acc = acc + _stream_u4(x8, p, tile_n=1024)
+                return acc
+
+            mod, op = measure(lambda: np.asarray(fs(x8, *pk)),
+                              "_stream_u4", "stream", traces=args.traces)
+            log(direction, "stream_u4", mod, op, n_pad * k // 2)
+
+        tiles = args.up_tiles if direction == "up" else args.dn_tiles
+        for tn in tiles:
+            if tn * (k // 2) > 8 * 1024 * 1024:
+                continue
+            if want("w4a16"):
+                qp = [pad_qt(q, tn) for q in qs]
+                f = chain_fn(int4_matmul, qp[0], k, tile_n=tn)
+                mod, op = measure(lambda: np.asarray(f(x, *flatten(qp))),
+                                  "_int4_matmul_padded", traces=args.traces)
+                log(direction, f"w4a16_tn{tn}", mod, op, wbytes)
+            if want("w4a8"):
+                qp = [pad_qt(q, tn) for q in qs]
+                f = chain_fn(int4_matmul_a8, qp[0], k, tile_n=tn)
+                mod, op = measure(lambda: np.asarray(f(x, *flatten(qp))),
+                                  "_int4_a8_padded", traces=args.traces)
+                log(direction, f"w4a8_tn{tn}", mod, op, wbytes)
+
+        if want("pg128"):
+            qpg = build(k, n, pg=True, seed=3)
+            wbytes_pg = n * k // 2 + 8 * n * (k // 128)
+            for tn in tiles:
+                if tn * (k // 2) > 3 * 1024 * 1024:
+                    continue
+                qp = [pad_qt(q, tn) for q in qpg]
+                f = chain_fn(int4_matmul_per_group, qp[0], k, tile_n=tn)
+                try:
+                    mod, op = measure(
+                        lambda: np.asarray(f(x, *flatten(qp))),
+                        "_int4_group_padded", traces=args.traces)
+                except Exception as err:
+                    results.setdefault(direction, {})[f"pg128_tn{tn}"] = {
+                        "error": str(err)[:200]}
+                    print(f"{direction} pg128_tn{tn} FAILED {str(err)[:100]}",
+                          flush=True)
+                    continue
+                log(direction, f"pg128_tn{tn}", mod, op, wbytes_pg)
+
+    with open(args.out, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -79,6 +79,11 @@ class QuantizedLinear:
     # execution mode (activation="int8_xla"): 2x packed size, streamed by
     # XLA's matmul emitter — see ops/int8_xla.py for when this wins.
     w8: Optional[object] = None
+    # Logical output dim when `weight` rows are padded to the kernel's best
+    # tile multiple (quant.core.pad_rows); outputs are sliced back to it.
+    out_features: Optional[int] = dataclasses.field(
+        metadata=dict(static=True), default=None
+    )
 
     # -- construction -------------------------------------------------------
 
@@ -120,7 +125,7 @@ class QuantizedLinear:
 
     @property
     def out_dim(self) -> int:
-        return self.weight.out_dim
+        return self.out_features or self.weight.out_dim
 
     @property
     def nbytes(self) -> int:
@@ -149,6 +154,23 @@ class QuantizedLinear:
         static under jit, so the dispatch is compile-time."""
         return dataclasses.replace(self, activation="int8_auto")
 
+    def padded_for_kernel(self) -> "QuantizedLinear":
+        """Pre-pad weight rows to the kernel's measured-best tile multiple
+        (quant.core.pad_rows) so the forward never pays a per-call n_pad
+        copy; outputs are sliced back to the logical ``out_features``."""
+        from ..quant.core import pad_rows
+
+        k_half = self.weight.in_dim // 2
+        best = 1024 if k_half <= 3072 else 384
+        if self.weight.granularity not in ("per_row", "per_group"):
+            return self
+        padded = pad_rows(self.weight, best)
+        if padded is self.weight:
+            return self
+        return dataclasses.replace(
+            self, weight=padded, out_features=self.weight.out_dim
+        )
+
     # Leading-dim size at which the XLA transient path takes over from the
     # fused kernel under activation="int8_auto". The fused kernel wins the
     # memory-bound decode regime (half the bytes at ~460-580 GB/s); XLA's
@@ -174,6 +196,8 @@ class QuantizedLinear:
             from ..ops.int8_xla import int4_linear_transient
 
             y = int4_linear_transient(x, w)
+            if self.out_features and y.shape[-1] != self.out_features:
+                y = y[..., : self.out_features]
             if self.bias is not None:
                 y = y + self.bias.astype(y.dtype)
             return y
@@ -181,6 +205,8 @@ class QuantizedLinear:
             from ..ops.int8_xla import int8_linear
 
             y = int8_linear(x, self.w8)
+            if self.out_features and y.shape[-1] != self.out_features:
+                y = y[..., : self.out_features]
             if self.bias is not None:
                 y = y + self.bias.astype(y.dtype)
             return y
@@ -207,6 +233,8 @@ class QuantizedLinear:
             y = int4_matmul_per_group(x, w)
         else:
             y = reference_linear_qt(x, self.weight, dtype=x.dtype)
+        if self.out_features and y.shape[-1] != self.out_features:
+            y = y[..., : self.out_features]
         if self.bias is not None:
             y = y + self.bias.astype(y.dtype)
         return y

@@ -213,14 +213,27 @@ def _int4_matmul_padded(
     )(x, packed, scales[None, :], zero_points[None, :])
 
 
+def _best_tile_n(n: int, k_half: int, best: int) -> int:
+    """Largest divisor of round_up(n, 128) at or below the measured-best
+    block height — a divisor tile needs no n_pad copy on the hot path.
+    Callers that pre-pad rows (quant.core.pad_rows) make the best size a
+    divisor, unlocking it automatically."""
+    n128 = _round_up(n, 128)
+    best = max(128, min(best, n128))
+    return next((c for c in range(best, 0, -128) if n128 % c == 0), 128)
+
+
 def _pick_tiles(m: int, n: int, k: int, x_bytes: int):
     """Choose (tile_m, tile_n, tile_kh) under a VMEM budget.
 
     Weight-tile rows must be long for DMA efficiency, so prefer splitting K
     as little as possible; unpacked bf16 temporaries are the VMEM hog.
+    tile_n targets the measured-best weight-block height per K-depth
+    (benchmark/results/device_bw.json, device-trace protocol: ~2 MB blocks
+    at k_half <= 3072, ~512 rows on the deep-K down-projection).
     """
     tile_m = m if m <= 256 else 256
-    tile_n = min(512, _round_up(n, 128))
+    tile_n = _best_tile_n(n, k // 2, 1024 if k // 2 <= 3072 else 512)
     k_half = k // 2
     # Unpacked lo+hi temporaries: 2 * tile_n * tile_kh * 2B (bf16) or 4B (f32);
     # keep them + 2x packed buffers under ~8MB.
@@ -745,20 +758,20 @@ def int4_matmul_a8(
     m_pad = _round_up(m_pad, tile_m)
     # Cap the double-buffered weight block at ~8 MB so Mosaic keeps the
     # DMA/compute pipeline: [1024, 5504] blocks (the flagship down
-    # projection) are 5.5 MB each and serialize when two don't fit. Among
-    # capped candidates prefer one that DIVIDES round_up(n, 128): a
-    # non-divisor tile (640 at the flagship down-proj) forces n_pad
-    # padding, i.e. a per-call jnp.pad copy of the whole weight tensor on
-    # the decode hot path plus ~10% extra streamed bytes.
+    # projection) are 5.5 MB each and serialize when two don't fit. The
+    # target block height is the measured-best per K-depth
+    # (benchmark/results/device_bw.json: tn=1024 at the up-projection
+    # k_half=2048, tn=384 at the down-projection k_half=5504), restricted
+    # to divisors of round_up(n, 128) — a non-divisor tile forces a per-call
+    # jnp.pad copy of the whole weight tensor on the decode hot path
+    # (measured ~26 us at the flagship shape, more than the tile win).
+    # Pre-padding rows at convert time (quant.core.pad_rows) makes the best
+    # size a divisor, unlocking it without the copy.
     tn_cap = max(128, (4_194_304 // (k // 2)) // 128 * 128)
     if tile_n is None:
-        n128 = _round_up(n, 128)
-        hi = min(1024, tn_cap, n128)
-        tn = hi
-        if n128 % tn != 0:
-            div = [c for c in range(128, hi + 1, 128) if n128 % c == 0]
-            if div:
-                tn = div[-1]
+        tn = _best_tile_n(
+            n, k // 2, min(tn_cap, 1024 if k // 2 <= 3072 else 384)
+        )
     else:
         tn = tile_n
     n_pad = _round_up(n, tn)

@@ -51,6 +51,7 @@ __all__ = [
     "QuantizedTensor",
     "quantize",
     "dequantize",
+    "pad_rows",
     "quantize_weights",
     "dequantize_weights",
     "pack_interleaved",
@@ -337,6 +338,47 @@ def quantize(
         block_k=bk,
         group_size=group_size if granularity == "per_group" else 0,
         bits=bits,
+    )
+
+
+def pad_rows(qt: QuantizedTensor, multiple: int) -> QuantizedTensor:
+    """Pad the output-row dim to a multiple, once, at conversion time.
+
+    The fused kernels stream weights in [tile_n, K/2] blocks; the measured-
+    best tile_n (benchmark/results/device_bw.json) often does not divide N
+    (e.g. 1024 at the flagship N=11008), and padding inside the forward
+    costs a full weight copy per call (~26 us at that shape). Pre-padding
+    here makes the best tile a divisor of the stored N, so the kernel
+    wrappers pick it with no hot-path copy. Padded rows have scale 0 and
+    dequantize to exact zeros; callers slice outputs back to the logical
+    row count (`QuantizedLinear.out_features`).
+    """
+    n = qt.shape[-2]
+    n_pad = -(-n // multiple) * multiple
+    if n_pad == n:
+        return qt
+    extra = n_pad - n
+    row_axis = qt.packed.ndim - 2
+    pw = [(0, 0)] * qt.packed.ndim
+    pw[row_axis] = (0, extra)
+    if qt.granularity == "per_row":
+        ps = [(0, 0)] * qt.scales.ndim
+        ps[qt.scales.ndim - 1] = (0, extra)
+    elif qt.granularity == "per_group":
+        ps = [(0, 0)] * qt.scales.ndim
+        ps[qt.scales.ndim - 2] = (0, extra)
+    else:  # per_tensor: scalar scale broadcasts over padded rows (q == zp
+        # after zero-padding packed only if zp==0; pad packed with the zp
+        # nibble pattern instead so padded rows still dequantize to zero)
+        raise NotImplementedError(
+            "pad_rows supports per_row/per_group granularities"
+        )
+    return dataclasses.replace(
+        qt,
+        packed=jnp.pad(qt.packed, pw),
+        scales=jnp.pad(qt.scales, ps),
+        zero_points=jnp.pad(qt.zero_points, ps),
+        shape=tuple(qt.shape[:-2]) + (n_pad, qt.shape[-1]),
     )
 
 

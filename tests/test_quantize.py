@@ -176,3 +176,43 @@ class TestReferenceLinear:
         qt2 = jax.tree_util.tree_map(lambda x: x, qt)
         assert isinstance(qt2, QuantizedTensor)
         assert qt2.block_k == qt.block_k
+
+
+class TestPadRows:
+    """pad_rows: conversion-time row padding for kernel-best tiles."""
+
+    def test_padded_dequant_matches_with_zero_tail(self, rng):
+        from fused4bit_tpu.quant import pad_rows
+
+        w = randw(rng, 300, 64)
+        for kwargs in (
+            dict(granularity="per_row", layout="planar"),
+            dict(granularity="per_group", group_size=16, layout="planar"),
+        ):
+            qt = quantize(w, **kwargs)
+            qp = pad_rows(qt, 128)
+            assert qp.shape == (384, 64)
+            wd = dequantize(qp)
+            np.testing.assert_allclose(
+                np.asarray(wd[:300]), np.asarray(dequantize(qt))
+            )
+            assert float(jnp.max(jnp.abs(wd[300:]))) == 0.0
+
+    def test_noop_when_aligned(self, rng):
+        from fused4bit_tpu.quant import pad_rows
+
+        qt = quantize(randw(rng, 256, 64))
+        assert pad_rows(qt, 128) is qt
+
+    def test_quantized_linear_padded_for_kernel(self, rng):
+        from fused4bit_tpu.layers.linear import QuantizedLinear
+
+        w = randw(rng, 300, 512)
+        x = jnp.asarray(rng.normal(size=(4, 512)), jnp.float32)
+        lin = QuantizedLinear.from_dense(w, bias=jnp.ones((300,)))
+        pad = lin.padded_for_kernel()
+        assert pad.out_dim == 300
+        assert pad.weight.out_dim % 128 == 0
+        np.testing.assert_allclose(
+            np.asarray(pad(x)), np.asarray(lin(x)), rtol=1e-5, atol=1e-5
+        )
