@@ -135,6 +135,123 @@ def measure(run, *substr, traces=3):
     return mod_best, op_best
 
 
+def sweep_batches(args):
+    """Flagship linear batch sweep (BASELINE configs[1]): true per-pair
+    latency of a 2-layer up(4096->11008)/down(11008->4096) FFN chain across
+    batch sizes, bf16 XLA vs the fused kernels, on the device-trace
+    protocol. 6 distinct pairs (~270 MB packed / ~1.1 GB bf16) keep weights
+    HBM-resident; per-pair = module device time / pairs."""
+    k, n = args.k, args.n
+    pairs = args.pairs if args.pairs else 6
+    key = jax.random.PRNGKey(0)
+    qpairs = []
+    for _ in range(pairs):
+        key, k1, k2 = jax.random.split(key, 3)
+        wu = jax.random.normal(k1, (n, k), jnp.float32) * (k ** -0.5)
+        wd = jax.random.normal(k2, (k, n), jnp.float32) * (n ** -0.5)
+        qpairs.append((
+            quantize(wu, granularity="per_row", layout="planar"),
+            quantize(wd, granularity="per_row", layout="planar"),
+        ))
+    pair_bytes_u4 = (n * k // 2 + 8 * n) + (k * n // 2 + 8 * k)
+    pair_bytes_bf16 = 2 * k * n * 2
+
+    # measured-best tiles per direction (device_bw.json); weights pre-padded
+    TILES = {"w4a16": (1024, 512), "w4a8": (1024, 384)}
+    CALLS = {"w4a16": int4_matmul, "w4a8": int4_matmul_a8}
+
+    def mk_kernel_chain(impl):
+        tu, td = TILES[impl]
+        call = CALLS[impl]
+        prepped = [(pad_qt(u, tu), pad_qt(d, td)) for (u, d) in qpairs]
+        flat = []
+        for (u, d) in prepped:
+            flat.extend([u.packed, u.scales, u.zero_points,
+                         d.packed, d.scales, d.zero_points])
+        tpl_u, tpl_d = prepped[0]
+
+        @jax.jit
+        def f(x, *fl):
+            y = x
+            for i in range(pairs):
+                le = fl[6 * i:6 * (i + 1)]
+                qu = dataclasses.replace(
+                    tpl_u, packed=le[0], scales=le[1], zero_points=le[2])
+                qd = dataclasses.replace(
+                    tpl_d, packed=le[3], scales=le[4], zero_points=le[5])
+                h = call(x if i == 0 else y, qu, tile_n=tu)
+                y = _fold(call(jnp.sin(h[:, :n]), qd, tile_n=td), k, k)
+            return y
+
+        return f, flat
+
+    wd_pairs = []
+    for (u, d) in qpairs:
+        wd_pairs.append((dequantize(u, dtype=jnp.bfloat16).T,
+                         dequantize(d, dtype=jnp.bfloat16).T))
+
+    @jax.jit
+    def f_bf16(x, *ws):
+        y = x
+        for i in range(pairs):
+            wu, wd = ws[2 * i], ws[2 * i + 1]
+            h = jnp.dot(x if i == 0 else y, wu)
+            h = jnp.sin(h + 1e-6 * jnp.sum(h, axis=1, keepdims=True))
+            y = _fold(jnp.dot(h, wd), k, k)
+        return y
+
+    bfflat = [w for p in wd_pairs for w in p]
+
+    results = {}
+    doc = {
+        "shape": {"k": k, "n": n},
+        "protocol": (
+            f"device-trace module time / {pairs} distinct HBM-resident "
+            "up/down pairs (true 2-layer FFN chain, every column consumed); "
+            f"min over {args.traces} traces. Tiles: w4a16 up1024/dn512, "
+            "w4a8 up1024/dn384 (device_bw.json), weights pre-padded."
+        ),
+        "device": str(jax.devices()[0]),
+        "results": results,
+    }
+    for b in args.sweep_batch:
+        x = jax.random.normal(
+            jax.random.PRNGKey(9), (b, k), jnp.float32
+        ).astype(jnp.bfloat16)
+        row = {}
+
+        def add(name, per_pair_ms, pbytes):
+            row[name] = {
+                "ms_per_pair": round(per_pair_ms, 5),
+                "weight_gbps": round(pbytes / (per_pair_ms / 1e3) / 1e9, 1),
+            }
+            if "bf16" in row and name != "bf16":
+                row[name]["speedup_vs_bf16"] = round(
+                    row["bf16"]["ms_per_pair"] / per_pair_ms, 3)
+            print(f"b={b:<4} {name:<7} {per_pair_ms*1e3:9.2f} us/pair "
+                  f"{row[name]['weight_gbps']:8.1f} GB/s", flush=True)
+
+        def mod_per_pair(run):
+            run()
+            best = None
+            for _ in range(args.traces):
+                prof = device_op_times(run)
+                t = min(v.total_ms for v in prof.by_module.values()) / pairs
+                best = t if best is None or t < best else best
+            return best
+
+        add("bf16", mod_per_pair(lambda: np.asarray(f_bf16(x, *bfflat))),
+            pair_bytes_bf16)
+        for impl in ("w4a16", "w4a8"):
+            f, flat = mk_kernel_chain(impl)
+            add(impl, mod_per_pair(lambda: np.asarray(f(x, *flat))),
+                pair_bytes_u4)
+        results[f"batch{b}"] = row
+        with open(args.out, "w") as fo:
+            json.dump(doc, fo, indent=1)
+    print(f"wrote {args.out}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--m", type=int, default=32)
@@ -146,8 +263,17 @@ def main():
                     default=[256, 512, 1024, 2048])
     ap.add_argument("--dn-tiles", type=int, nargs="*",
                     default=[128, 256, 384, 512])
+    ap.add_argument("--pairs", type=int, default=None)
+    ap.add_argument(
+        "--sweep-batch", type=int, nargs="*", default=None,
+        help="batch sizes for the flagship linear pair sweep (writes the "
+             "linear_batch_sweep-style artifact instead of the tile probe)",
+    )
     ap.add_argument("--out", default="benchmark/results/device_bw.json")
     args = ap.parse_args()
+
+    if args.sweep_batch:
+        return sweep_batches(args)
 
     m = args.m
     results = {}
