@@ -9,8 +9,15 @@ dataclass + warmup/sync `timer_ms`). Two timing modes:
   `benchmark/run_benchmark.py:93-104`).
 * :func:`time_fn_scan` — wraps the op in an on-device ``lax.scan`` loop inside
   a single jit call, so per-call host dispatch overhead (notably the remote
-  tunnel on this setup: ~0.5 ms/call) is amortized away. This is the honest
-  device-time number and what the roofline compares against.
+  tunnel on this setup: ~0.5 ms/call) is amortized away.
+
+NOTE (round 4): for per-op/per-kernel truth, prefer
+:mod:`fused4bit_tpu.utils.device_profile` — profiler-exported device
+durations reproduce to ~0.1%, while every wall-clock protocol here carries
+2-4x trial-to-trial dispatch-jitter variance on the tunneled platform
+(measured: benchmark/results/kernel_tile_ab.json). The wall-clock timers
+remain the right tool for measuring what a HOST-DRIVEN serving step pays
+end to end.
 """
 from __future__ import annotations
 
