@@ -67,10 +67,51 @@ def main():
             ts.append((time.perf_counter() - t0) / steps)
         return sorted(ts)[len(ts) // 2]
 
+    def bench_device(m, caches):
+        """Device-trace per-step ms (utils/device_profile): module device
+        time of the whole 24-step scan / steps — exact, immune to the
+        host-dispatch jitter the wall numbers above carry. None off-TPU or
+        if the profiler yields no device events."""
+        try:
+            from fused4bit_tpu.utils.device_profile import device_op_times
+
+            @jax.jit
+            def loop(m, caches, tok0, pos0):
+                def body(carry, _):
+                    tok, caches, pos = carry
+                    logits, caches = m(tok, caches, pos)
+                    nxt = jnp.argmax(
+                        logits[:, -1], axis=-1
+                    ).astype(jnp.int32)[:, None]
+                    return (nxt, caches, pos + 1), nxt
+
+                _, toks = jax.lax.scan(
+                    body, (tok0, caches, pos0), None, length=steps
+                )
+                return toks
+
+            tok0 = jnp.zeros((b, 1), jnp.int32)
+            pos0 = jnp.zeros((b, 1), jnp.int32)
+            np.asarray(loop(m, caches, tok0, pos0))  # compile + warm
+            best = None
+            for _ in range(3):
+                prof = device_op_times(
+                    lambda: np.asarray(loop(m, caches, tok0, pos0))
+                )
+                if not prof.by_module:
+                    return None
+                t = min(v.total_ms for v in prof.by_module.values()) / steps
+                best = t if best is None or t < best else best
+            return best
+        except Exception:
+            return None
+
     t_kernel = bench(model, model.init_cache(cfg, b, 256))
     t_turbo = bench(turbo, turbo.init_cache(cfg, b, 256))
     t_naive = bench(dense, dense.init_cache(cfg, b, 256))
     t_strong = bench(strong, strong.init_cache(cfg, b, 256))
+    d_kernel = bench_device(model, model.init_cache(cfg, b, 256))
+    d_strong = bench_device(strong, strong.init_cache(cfg, b, 256))
 
     # The INT4 model's headline config is whichever int4 execution mode wins
     # on this platform (packed-u4 Pallas kernels vs int8-resident XLA —
@@ -93,6 +134,18 @@ def main():
         "int4_xla_turbo_ms": round(t_turbo * 1e3, 3),
         "bf16_strong_ms": round(t_strong * 1e3, 3),
         "bf16_naive_ms": round(t_naive * 1e3, 3),
+        # device-trace per-step ms (exact on-device time inside the scan;
+        # the wall numbers above include the platform's per-dispatch cost)
+        "int4_kernel_device_ms": (
+            round(d_kernel, 3) if d_kernel is not None else None
+        ),
+        "bf16_strong_device_ms": (
+            round(d_strong, 3) if d_strong is not None else None
+        ),
+        "vs_strong_dense_device": (
+            round(d_strong / d_kernel, 3)
+            if d_kernel and d_strong else None
+        ),
         # provenance: CPU numbers (chip outage fallback) are interpret-mode
         # and NOT comparable to TPU runs
         "backend": jax.default_backend(),
