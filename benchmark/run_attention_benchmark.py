@@ -115,11 +115,30 @@ def main(argv=None):
         q, cache = build(ctx)
         cell = results.setdefault(f"ctx{ctx}", {})
         kv_bytes_packed = cache.k_packed.size * 2 + cache.k_scale.size * 2 * 4 * 2
-        # correctness first
-        got = np.asarray(int4_decode_attention(q, cache), np.float32)
-        want = np.asarray(jnp_attention(q, cache), np.float32)
-        rel = np.abs(got - want).max() / max(np.abs(want).max(), 1e-9)
+        # Correctness first — BOTH impls against an f64 host golden on the
+        # same dequantized cache. (Round 3 verified the kernel against the
+        # bf16 baseline and saw "kernel error growing with context"; the
+        # growth was the BASELINE's own bf16 softmax/einsum drift — kernel
+        # 0.26-0.27% FLAT at ctx 4k-16k, baseline 1.1->1.7%.)
+        kd, vd = cache.dequantize(dtype=jnp.float32)
+        kd64 = np.repeat(np.asarray(kd), NH // NKV, axis=1).astype(np.float64)
+        vd64 = np.repeat(np.asarray(vd), NH // NKV, axis=1).astype(np.float64)
+        del kd, vd
+        qn = np.asarray(q, np.float32).astype(np.float64)
+        sc = np.einsum("bhd,bhsd->bhs", qn, kd64) / np.sqrt(float(D))
+        sc -= sc.max(-1, keepdims=True)
+        pr = np.exp(sc)
+        pr /= pr.sum(-1, keepdims=True)
+        gold = np.einsum("bhs,bhsd->bhd", pr, vd64)
+        scale = max(np.abs(gold).max(), 1e-9)
+        del kd64, vd64, sc, pr
+        got = np.asarray(int4_decode_attention(q, cache), np.float64)
+        base = np.asarray(jnp_attention(q, cache), np.float64)
+        rel = np.abs(got - gold).max() / scale
         cell["verify_rel_err"] = round(float(rel), 5)
+        cell["baseline_rel_err"] = round(
+            float(np.abs(base - gold).max() / scale), 5
+        )
         n_caches = max(2, int(np.ceil(_MIN_CHAIN_BYTES / kv_bytes_packed)))
         print(f"\n=== ctx={ctx} (packed KV {kv_bytes_packed/1e6:.0f} MB x "
               f"{n_caches} distinct caches) "

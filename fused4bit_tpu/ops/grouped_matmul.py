@@ -376,18 +376,28 @@ def _pick_mode_and_tile_n(t_pad, k, n_pad, e, x_itemsize, tile_m, tile_n, mode):
             <= _VMEM_BUDGET
         ]
         tn_stream = fits[0] if fits else tn_candidates()[-1]
-        resident_ok = (
-            x_bytes
-            + 2 * tn_stream * k_half * (1 + x_itemsize)
-            + 2 * tile_m * tn_stream * 4
-            <= _VMEM_BUDGET
-        )
-        if resident_ok:
-            mode = "x_resident"
+        num_tiles = t_pad // tile_m
+        if num_tiles <= 2 * e:
+            # Decode-size dispatch: m-tiles map to (nearly) all-distinct
+            # experts, so the (n, m)-grid modes' same-expert block dedupe
+            # and unpack-scratch cache never fire — they only add scratch
+            # write/read passes. Measured at Mixtral T=32 (10 tiles, 8
+            # experts): n_inner 0.63 ms vs x_resident/m_inner 1.25-1.26
+            # (mixtral_sweep_device.json T32_uniform).
+            mode = "n_inner"
         else:
-            t_m = w_bytes + x_bytes * (n_pad // tn_stream)
-            t_n = x_bytes + (t_pad // tile_m) * (w_bytes // e)
-            mode = "m_inner" if t_m <= t_n else "n_inner"
+            resident_ok = (
+                x_bytes
+                + 2 * tn_stream * k_half * (1 + x_itemsize)
+                + 2 * tile_m * tn_stream * 4
+                <= _VMEM_BUDGET
+            )
+            if resident_ok:
+                mode = "x_resident"
+            else:
+                t_m = w_bytes + x_bytes * (n_pad // tn_stream)
+                t_n = x_bytes + (t_pad // tile_m) * (w_bytes // e)
+                mode = "m_inner" if t_m <= t_n else "n_inner"
         tile_n = tile_n or tn_stream
     tile_n = tile_n or 512
     return mode, tile_n
