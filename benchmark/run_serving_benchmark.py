@@ -44,7 +44,7 @@ def main(argv=None):
     p.add_argument("--paged", action="store_true",
                    help="paged KV pool (layers/paged_kv): page gather rides "
                         "the kernel's scalar-prefetched index_map")
-    p.add_argument("--page-size", type=int, default=64)
+    p.add_argument("--page-size", type=int, default=128)
     p.add_argument("--num-pages", type=int, default=None,
                    help="pool size; default = contiguous-equivalent; set "
                         "lower to exercise admission control")

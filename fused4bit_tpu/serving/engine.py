@@ -95,7 +95,7 @@ class ServingEngine:
         interpret=None,
         decode_block: int = 1,
         paged: bool = False,
-        page_size: int = 64,
+        page_size: int = 128,  # compiled paged kernels need a 128-lane multiple
         num_pages: Optional[int] = None,
         prefix_caching: bool = True,
         on_token=None,
