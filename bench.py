@@ -100,7 +100,7 @@ def main():
                 )
                 if not prof.by_module:
                     return None
-                t = min(v.total_ms for v in prof.by_module.values()) / steps
+                t = prof.main_module_ms("jit_loop") / steps
                 best = t if best is None or t < best else best
             return best
         except Exception:

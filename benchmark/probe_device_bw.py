@@ -125,7 +125,7 @@ def measure(run, *substr, traces=3):
     mod_best = op_best = None
     for _ in range(traces):
         prof = device_op_times(run)
-        mod = min(v.total_ms for v in prof.by_module.values()) / REPEAT
+        mod = prof.main_module_ms() / REPEAT
         mod_best = mod if mod_best is None or mod < mod_best else mod_best
         if substr:
             cnt = prof.matching_count(*substr)
@@ -236,7 +236,7 @@ def sweep_batches(args):
             best = None
             for _ in range(args.traces):
                 prof = device_op_times(run)
-                t = min(v.total_ms for v in prof.by_module.values()) / pairs
+                t = prof.main_module_ms() / pairs
                 best = t if best is None or t < best else best
             return best
 
@@ -386,7 +386,7 @@ def main():
                 qp = [pad_qt(q, tn) for q in qs]
                 f = chain_fn(int4_matmul_a8, qp[0], k, tile_n=tn)
                 mod, op = measure(lambda: np.asarray(f(x, *flatten(qp))),
-                                  "_int4_a8_padded", traces=args.traces)
+                                  "_int4_a8", traces=args.traces)
                 log(direction, f"w4a8_tn{tn}", mod, op, wbytes)
 
         if want("pg128"):

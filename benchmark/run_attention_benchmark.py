@@ -61,7 +61,7 @@ def time_attention_device(fn, q, caches, traces=3):
     best = None
     for _ in range(traces):
         prof = device_op_times(run)
-        t = min(v.total_ms for v in prof.by_module.values()) / len(caches)
+        t = prof.main_module_ms() / len(caches)
         best = t if best is None or t < best else best
     return best / 1e3
 

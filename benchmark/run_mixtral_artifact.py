@@ -80,7 +80,7 @@ def time_fn_device(fn, x, *, consts=(), traces=3):
         prof = device_op_times(
             lambda: np.asarray(jax.tree.leaves(jf(x, *consts))[0])
         )
-        t = min(v.total_ms for v in prof.by_module.values()) / 1e3
+        t = prof.main_module_ms() / 1e3
         best = t if best is None or t < best else best
     return best
 

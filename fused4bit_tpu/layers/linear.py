@@ -155,13 +155,16 @@ class QuantizedLinear:
         return dataclasses.replace(self, activation="int8_auto")
 
     def padded_for_kernel(self) -> "QuantizedLinear":
-        """Pre-pad weight rows to the kernel's measured-best tile multiple
-        (quant.core.pad_rows) so the forward never pays a per-call n_pad
-        copy; outputs are sliced back to the logical ``out_features``."""
+        """Pre-pad weight rows to the kernels' shared measured-best tile
+        multiple (`ops.int4_matmul.preferred_row_multiple` — ONE table with
+        the kernels' own tile pickers, so padding can't silently de-optimize
+        a path) so the forward never pays a per-call n_pad copy; outputs are
+        sliced back to the logical ``out_features``."""
+        from ..ops.int4_matmul import preferred_row_multiple
         from ..quant.core import pad_rows
 
         k_half = self.weight.in_dim // 2
-        best = 1024 if k_half <= 3072 else 384
+        best = preferred_row_multiple(k_half)
         if self.weight.granularity not in ("per_row", "per_group"):
             return self
         padded = pad_rows(self.weight, best)

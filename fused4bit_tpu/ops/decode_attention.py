@@ -353,18 +353,20 @@ def _paged_scalars(cache, starts):
     ])
 
 
-def _check_page_lanes(page: int, interpret: bool) -> None:
-    """Mosaic requires the last block dim to be a 128 multiple (or the full
-    array dim); the paged kernels' scale-plane blocks are `page` lanes wide,
-    so compiled paged attention needs ``page_size % 128 == 0``. Interpret
-    mode (CPU tests) has no such constraint. Raised here, at the wrapper,
-    so the failure names the knob instead of surfacing as a Mosaic lowering
-    error mid-serving (hit in round 4 with the old page_size=64 default)."""
-    if not interpret and page % 128 != 0:
+def _check_page_lanes(page: int, max_pages: int, interpret: bool) -> None:
+    """Mosaic requires the last block dim to be a 128 multiple OR the full
+    array dim; the paged kernels' scale-plane blocks are `page` lanes wide
+    over a `max_pages * page`-lane plane, so compiled paged attention needs
+    ``page_size % 128 == 0`` — except when ``max_pages == 1``, where the
+    block IS the full lane extent and any page size lowers. Interpret mode
+    (CPU tests) has no such constraint. Raised here, at the wrapper, so the
+    failure names the knob instead of surfacing as a Mosaic lowering error
+    mid-serving (hit in round 4 with the old page_size=64 default)."""
+    if not interpret and page % 128 != 0 and max_pages != 1:
         raise ValueError(
             f"compiled paged attention requires page_size % 128 == 0 "
-            f"(got {page}); use page_size=128 (the serving default) or run "
-            f"in interpret mode"
+            f"(got {page} with {max_pages} pages/slot); use page_size=128 "
+            f"(the serving default) or run in interpret mode"
         )
 
 
@@ -384,7 +386,7 @@ def paged_int4_decode_attention(
         raise ValueError(f"Hq={hq} not a multiple of Hkv={h_kv}")
     if interpret is None:
         interpret = not _on_tpu()
-    _check_page_lanes(cache.page_size, interpret)
+    _check_page_lanes(cache.page_size, cache.max_pages_per_slot, interpret)
     if out_dtype is None:
         out_dtype = q.dtype
     q4 = q.reshape(b, h_kv, g, d)
@@ -414,7 +416,7 @@ def paged_int4_prefill_attention(
         raise ValueError(f"Hq={hq} not a multiple of Hkv={h_kv}")
     if interpret is None:
         interpret = not _on_tpu()
-    _check_page_lanes(cache.page_size, interpret)
+    _check_page_lanes(cache.page_size, cache.max_pages_per_slot, interpret)
     if out_dtype is None:
         out_dtype = q.dtype
     qt = max(1, min(512 // g, t))

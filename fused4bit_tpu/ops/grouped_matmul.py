@@ -377,13 +377,19 @@ def _pick_mode_and_tile_n(t_pad, k, n_pad, e, x_itemsize, tile_m, tile_n, mode):
         ]
         tn_stream = fits[0] if fits else tn_candidates()[-1]
         num_tiles = t_pad // tile_m
-        if num_tiles <= 2 * e:
-            # Decode-size dispatch: m-tiles map to (nearly) all-distinct
-            # experts, so the (n, m)-grid modes' same-expert block dedupe
-            # and unpack-scratch cache never fire — they only add scratch
-            # write/read passes. Measured at Mixtral T=32 (10 tiles, 8
-            # experts): n_inner 0.63 ms vs x_resident/m_inner 1.25-1.26
-            # (mixtral_sweep_device.json T32_uniform).
+        # n_inner's modeled weight traffic is num_tiles * (W/E); x_resident/
+        # m_inner stream ~W once but pay scratch/dedupe passes that DOMINATE
+        # at every measured size: device-trace at Mixtral geometry
+        # (mode_crossover.json + mixtral_sweep_device.json) shows n_inner
+        # winning from 10 tiles/8 experts (0.63 vs 1.25 ms, 2x) through 24
+        # tiles (1.50 vs 2.03) up to 33 tiles at T=2048 prefill (3.53 vs
+        # 4.26) — i.e. even at 4.1x the modeled weight bytes. Gate on the
+        # modeled-traffic RATIO (ADVICE r4): inside the measured envelope
+        # (<= 4x) pick n_inner outright; beyond it fall back to the traffic
+        # model, where the measured ~1.2x win at ratio 4 implies a real
+        # crossover somewhere past ratio ~5.
+        n_inner_traffic = num_tiles * (w_bytes // e)
+        if n_inner_traffic <= 4 * (w_bytes + x_bytes):
             mode = "n_inner"
         else:
             resident_ok = (
@@ -396,8 +402,7 @@ def _pick_mode_and_tile_n(t_pad, k, n_pad, e, x_itemsize, tile_m, tile_n, mode):
                 mode = "x_resident"
             else:
                 t_m = w_bytes + x_bytes * (n_pad // tn_stream)
-                t_n = x_bytes + (t_pad // tile_m) * (w_bytes // e)
-                mode = "m_inner" if t_m <= t_n else "n_inner"
+                mode = "m_inner" if t_m <= n_inner_traffic + x_bytes else "n_inner"
         tile_n = tile_n or tn_stream
     tile_n = tile_n or 512
     return mode, tile_n

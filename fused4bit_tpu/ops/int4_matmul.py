@@ -213,6 +213,35 @@ def _int4_matmul_padded(
     )(x, packed, scales[None, :], zero_points[None, :])
 
 
+# Measured-best weight-block heights per K-depth, ONE shared table for the
+# kernels and the row-padding helper (benchmark/results/device_bw.json,
+# device-trace protocol at the flagship pair):
+#   shallow-K (k_half <= 3072): both kernels best at 1024 rows.
+#   deep-K: w4a8 best at 384 (678 GB/s; 512 costs -21%), w4a16 nominally
+#     best at 512 but within 5% at 384 — so the shared row-pad multiple
+#     follows the a8 preference (the decode throughput path) and the bf16
+#     kernel rides the 384 divisor. Keeping one table means
+#     `QuantizedLinear.padded_for_kernel` can never pad to a multiple that
+#     de-optimizes a kernel path behind its back.
+_SHALLOW_KH = 3072
+
+
+def best_tile_n_a16(k_half: int) -> int:
+    return 1024 if k_half <= _SHALLOW_KH else 512
+
+
+def best_tile_n_a8(k_half: int) -> int:
+    return 1024 if k_half <= _SHALLOW_KH else 384
+
+
+def preferred_row_multiple(k_half: int) -> int:
+    """Row-pad multiple for `quant.core.pad_rows` at conversion: the a8
+    target (384 deep-K beats 512 by 21% for a8 and costs a16 only 5%;
+    padding to lcm(384, 512)=1536 would add +12.5% weight traffic at the
+    flagship down-projection — worse than either tile compromise)."""
+    return best_tile_n_a8(k_half)
+
+
 def _best_tile_n(n: int, k_half: int, best: int) -> int:
     """Largest divisor of round_up(n, 128) at or below the measured-best
     block height — a divisor tile needs no n_pad copy on the hot path.
@@ -233,7 +262,7 @@ def _pick_tiles(m: int, n: int, k: int, x_bytes: int):
     at k_half <= 3072, ~512 rows on the deep-K down-projection).
     """
     tile_m = m if m <= 256 else 256
-    tile_n = _best_tile_n(n, k // 2, 1024 if k // 2 <= 3072 else 512)
+    tile_n = _best_tile_n(n, k // 2, best_tile_n_a16(k // 2))
     k_half = k // 2
     # Unpacked lo+hi temporaries: 2 * tile_n * tile_kh * 2B (bf16) or 4B (f32);
     # keep them + 2x packed buffers under ~8MB.
@@ -677,6 +706,122 @@ def _int4_a8_kernel(
         o_ref[:] = (s_ref[0, :][None, :] * sx_ref[:] * yq).astype(o_ref.dtype)
 
 
+def _int4_a8_fused_kernel(
+    x_ref,        # [TM, K] bf16/f32 RAW activations (quantized in-kernel)
+    w_ref,        # [TN, TKH] u8  packed planar
+    s_ref,        # [1, TN] f32   weight scales
+    z_ref,        # [1, TN] f32   weight zero-points (integer-valued)
+    o_ref,        # [TM, TN]
+    acc_ref,      # [TM, TN] i32 scratch
+    xsum_ref,     # [TM, 1] i32 scratch: sum of xq (lo+hi halves)
+    xsumh_ref,    # [TM, 1] i32 scratch: sum of xq hi half only
+    xq_ref,       # [TM, K] i8 scratch: quantized activations
+    sx_ref,       # [TM, 1] f32 scratch: activation scales
+    *,
+    n_k: int,
+    k_half: int,
+    tile_kh: int,
+):
+    """`_int4_a8_kernel` with the dynamic int8 activation quantization fused
+    into the kernel prologue. The host path lowers amax/round/cast as
+    separate XLA fusions whose fixed per-op dispatch overhead is ~20% of the
+    whole link at decode sizes (device_bw.json: module 40.8 us vs kernel
+    33.0 at the flagship up-projection); here they ride the same program.
+    The quantization math is identical (f32 amax -> sx -> round -> clip).
+    """
+    kk = pl.program_id(2)
+
+    # Quantize at kk==0 of every (i, j) step — NO cross-j scratch carry: a
+    # j==0-only variant (with the n dim demoted to "arbitrary") CRASHED the
+    # TPU worker at the flagship shape (round 5; "kernel fault"), so the
+    # scratch stays (i, j)-local. The requantize costs ~TM*K VPU per j-tile,
+    # which is why the wrapper only fuses on shallow-K (see int4_matmul_a8).
+    @pl.when(kk == 0)
+    def _init():
+        xf = x_ref[:].astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+        sx = jnp.maximum(amax, 1e-8) / 127.0
+        sx_ref[:] = sx
+        xq_ref[:] = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        xsum_ref[:] = jnp.zeros_like(xsum_ref)
+        xsumh_ref[:] = jnp.zeros_like(xsumh_ref)
+
+    p = w_ref[:]
+    lo = (p & 0x0F).astype(jnp.int8)
+    vhi = pltpu.bitcast(p & 0xF0, jnp.int8)
+
+    if n_k == 1:
+        x_lo = xq_ref[:, :k_half]
+        x_hi = xq_ref[:, k_half:]
+    else:
+        off = pl.multiple_of(kk * tile_kh, 128)
+        x_lo = xq_ref[:, pl.ds(off, tile_kh)]
+        x_hi = xq_ref[:, pl.ds(k_half + off, tile_kh)]
+
+    dims = (((1,), (1,)), ((), ()))
+    acc_lo = jax.lax.dot_general(x_lo, lo, dims, preferred_element_type=jnp.int32)
+    acc_vhi = jax.lax.dot_general(x_hi, vhi, dims, preferred_element_type=jnp.int32)
+    xsl = jnp.sum(x_lo.astype(jnp.int32), axis=1, keepdims=True)
+    xsh = jnp.sum(x_hi.astype(jnp.int32), axis=1, keepdims=True)
+    acc_ref[:] += acc_lo + (acc_vhi >> 4)
+    xsum_ref[:] += xsl + xsh
+    xsumh_ref[:] += xsh
+
+    @pl.when(kk == n_k - 1)
+    def _finish():
+        zp = z_ref[0, :][None, :]
+        yq = (
+            (acc_ref[:] + 8 * xsumh_ref[:]).astype(jnp.float32)
+            - zp * xsum_ref[:].astype(jnp.float32)
+        )
+        o_ref[:] = (s_ref[0, :][None, :] * sx_ref[:] * yq).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_m", "tile_n", "tile_kh", "out_dtype", "interpret"),
+)
+def _int4_a8_fused_padded(
+    x, packed, scales, zero_points,
+    *, tile_m, tile_n, tile_kh, out_dtype, interpret,
+):
+    m, k = x.shape
+    n, k_half = packed.shape
+    n_k = k_half // tile_kh
+    grid = (m // tile_m, n // tile_n, n_k)
+    kernel = functools.partial(
+        _int4_a8_fused_kernel, n_k=n_k, k_half=k_half, tile_kh=tile_kh
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, k), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_n, tile_kh), lambda i, j, kk: (j, kk), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, tile_n), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_m, tile_n), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile_m, tile_n), jnp.int32),
+            pltpu.VMEM((tile_m, 1), jnp.int32),
+            pltpu.VMEM((tile_m, 1), jnp.int32),
+            pltpu.VMEM((tile_m, k), jnp.int8),
+            pltpu.VMEM((tile_m, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, packed, scales[None, :], zero_points[None, :])
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("tile_m", "tile_n", "tile_kh", "out_dtype", "interpret"),
@@ -727,12 +872,18 @@ def int4_matmul_a8(
     tile_n: Optional[int] = None,
     out_dtype=None,
     interpret: Optional[bool] = None,
+    fuse_quant: Optional[bool] = None,
 ) -> jnp.ndarray:
     """w4a8 fused linear: per-row int8 activation quant + integer MXU dots.
 
     ~0.3-0.5% relative activation-quantization error vs :func:`int4_matmul`;
     use where throughput matters more than the last decimal (the weight
     dequant itself stays exact).
+
+    ``fuse_quant`` moves the activation quantization INTO the Pallas kernel
+    (default wherever the raw-x block fits VMEM): the host path's
+    amax/round/cast ops are separate XLA fusions whose dispatch overhead is
+    ~20% of the link at decode sizes (device_bw.json). Identical math.
     """
     if qt.granularity != "per_row" or qt.layout != "planar":
         raise ValueError("a8 kernel requires per_row + planar weights")
@@ -746,16 +897,27 @@ def int4_matmul_a8(
     m = 1
     for d in lead:
         m *= d
-    x2 = x.reshape(m, k).astype(jnp.float32)
-
-    # dynamic per-row symmetric int8 activation quantization
-    amax = jnp.max(jnp.abs(x2), axis=1, keepdims=True)
-    sx = jnp.clip(amax, min=1e-8) / 127.0
-    xq = jnp.clip(jnp.round(x2 / sx), -127, 127).astype(jnp.int8)
 
     m_pad = max(_round_up(m, 32), 32)  # i8 sublane tile is 32
     tile_m = m_pad if m_pad <= 256 else 256
     m_pad = _round_up(m_pad, tile_m)
+    if fuse_quant is None:
+        # Fuse on shallow-K only (measured, device_bw_fusedq.json): at
+        # k=4096 the fused prologue saves the host glue (40.75 -> 37.42 us
+        # link), but the kernel requantizes per j-tile, so at deep K the VPU
+        # cost flips the sign (down-projection k=11008: 33.27 -> 38.75 us).
+        # VMEM must also fit the raw-x block + xq scratch.
+        x_b = jnp.dtype(x.dtype).itemsize
+        fuse_quant = (
+            k <= 2 * _SHALLOW_KH
+            and tile_m * k * (x_b + 1) <= 4 * 1024 * 1024
+        )
+    if not fuse_quant:
+        # dynamic per-row symmetric int8 activation quantization (host ops)
+        x2 = x.reshape(m, k).astype(jnp.float32)
+        amax = jnp.max(jnp.abs(x2), axis=1, keepdims=True)
+        sx = jnp.clip(amax, min=1e-8) / 127.0
+        xq = jnp.clip(jnp.round(x2 / sx), -127, 127).astype(jnp.int8)
     # Cap the double-buffered weight block at ~8 MB so Mosaic keeps the
     # DMA/compute pipeline: [1024, 5504] blocks (the flagship down
     # projection) are 5.5 MB each and serialize when two don't fit. The
@@ -769,23 +931,35 @@ def int4_matmul_a8(
     # size a divisor, unlocking it without the copy.
     tn_cap = max(128, (4_194_304 // (k // 2)) // 128 * 128)
     if tile_n is None:
-        tn = _best_tile_n(
-            n, k // 2, min(tn_cap, 1024 if k // 2 <= 3072 else 384)
-        )
+        tn = _best_tile_n(n, k // 2, min(tn_cap, best_tile_n_a8(k // 2)))
     else:
         tn = tile_n
     n_pad = _round_up(n, tn)
     k_half = k // 2
     tile_kh = k_half
-    if m_pad != m:
-        xq = jnp.pad(xq, ((0, m_pad - m), (0, 0)))
-        sx = jnp.pad(sx, ((0, m_pad - m), (0, 0)))
     packed, scales, zps = qt.packed, qt.scales, qt.zero_points
     if n_pad != n:
         packed = jnp.pad(packed, ((0, n_pad - n), (0, 0)))
         scales = jnp.pad(scales, (0, n_pad - n))
         zps = jnp.pad(zps, (0, n_pad - n))
 
+    if fuse_quant:
+        # pass the RAW activations in their original dtype (the kernel
+        # upcasts to f32 exactly as the host path would) — padded rows are
+        # zeros, quantize to zeros
+        xr = x.reshape(m, k)
+        if m_pad != m:
+            xr = jnp.pad(xr, ((0, m_pad - m), (0, 0)))
+        out = _int4_a8_fused_padded(
+            xr, packed, scales.astype(jnp.float32), zps.astype(jnp.float32),
+            tile_m=tile_m, tile_n=tn, tile_kh=tile_kh,
+            out_dtype=out_dtype, interpret=interpret,
+        )
+        return out[:m, :n].reshape(*lead, n)
+
+    if m_pad != m:
+        xq = jnp.pad(xq, ((0, m_pad - m), (0, 0)))
+        sx = jnp.pad(sx, ((0, m_pad - m), (0, 0)))
     out = _int4_a8_padded(
         xq, sx.astype(jnp.float32), packed,
         scales.astype(jnp.float32), zps.astype(jnp.float32),

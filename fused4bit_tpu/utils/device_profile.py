@@ -76,6 +76,30 @@ class DeviceProfile:
             if any(s in name for s in substrings)
         )
 
+    def main_module_ms(self, name_substring: Optional[str] = None) -> float:
+        """Device ms of the main XLA module in this trace.
+
+        A traced run can emit auxiliary modules besides the jit under test
+        (donation copies, helper jits); ``min`` over all modules would then
+        silently report the cheapest one. With ``name_substring`` the module
+        is selected by name (e.g. ``"jit_loop"``); otherwise the
+        max-total-duration module is taken — the main executable dominates
+        and auxiliary transfer modules are orders of magnitude smaller.
+        """
+        if not self.by_module:
+            raise RuntimeError("trace contains no XLA module events")
+        if name_substring is not None:
+            hits = {
+                k: v for k, v in self.by_module.items() if name_substring in k
+            }
+            if not hits:
+                raise KeyError(
+                    f"no XLA module matching {name_substring!r}; "
+                    f"have {sorted(self.by_module)}"
+                )
+            return max(v.total_ms for v in hits.values())
+        return max(v.total_ms for v in self.by_module.values())
+
 
 def _parse_trace(trace_dir: str) -> DeviceProfile:
     paths = sorted(

@@ -75,3 +75,21 @@ def test_parse_aggregates_device_ops(tmp_path):
 def test_parse_raises_without_trace(tmp_path):
     with pytest.raises(RuntimeError):
         _parse_trace(str(tmp_path))
+
+
+def test_main_module_selection(tmp_path):
+    # main jit (2.0 ms) plus a cheap auxiliary transfer module (0.01 ms):
+    # main_module_ms must NOT report the auxiliary one (min-over-modules bug)
+    events = _meta(3, "/device:TPU:0", 2, "XLA Modules") + [
+        {"ph": "X", "pid": 3, "tid": 2, "ts": 0.0, "dur": 2000.0,
+         "name": "jit_loop(7)",
+         "args": {"device_duration_ps": str(2_000_000_000)}},
+        {"ph": "X", "pid": 3, "tid": 2, "ts": 2500.0, "dur": 10.0,
+         "name": "jit__copy(9)",
+         "args": {"device_duration_ps": str(10_000_000)}},
+    ]
+    prof = _parse_trace(_write_trace(tmp_path, events))
+    assert prof.main_module_ms() == pytest.approx(2.0)
+    assert prof.main_module_ms("jit_loop") == pytest.approx(2.0)
+    with pytest.raises(KeyError):
+        prof.main_module_ms("jit_nonexistent")

@@ -183,6 +183,32 @@ class TestInt4MatmulA8:
         b = int4_matmul_a8(x, qt)
         assert jnp.array_equal(a, b)
 
+    def test_fused_quant_matches_host_quant(self, rng):
+        """In-kernel activation quantization (the decode default) runs the
+        same f32 amax/round/clip math as the host-op path, fused into the
+        Pallas prologue. The two are separately compiled XLA programs, so we
+        assert equality to well below ONE int8 code step (a real quantization
+        divergence would show up at sx*s_col ~ 1e-3; observed compile-context
+        noise is ~1e-5, single-ulp f32)."""
+        from fused4bit_tpu.ops.int4_matmul import int4_matmul_a8
+
+        for m, n, k in [(8, 512, 256), (3, 256, 128), (33, 384, 512)]:
+            w = randw(rng, n, k)
+            qt = quantize(w)
+            for dt in (jnp.float32, jnp.bfloat16):
+                x = jnp.asarray(rng.standard_normal((m, k)), dt)
+                host = np.asarray(
+                    int4_matmul_a8(x, qt, fuse_quant=False), np.float32
+                )
+                fused = np.asarray(
+                    int4_matmul_a8(x, qt, fuse_quant=True), np.float32
+                )
+                tol = 1e-4 * float(np.abs(host).max())
+                np.testing.assert_allclose(
+                    fused, host, rtol=0, atol=tol,
+                    err_msg=str((m, n, k, dt)),
+                )
+
 
 class TestInt4MatmulPerGroup:
     """per_group granularity in the fused kernel (production INT4 standard)."""

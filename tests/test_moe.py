@@ -202,6 +202,37 @@ class TestGroupedKernel:
         assert float(err) < 0.8
 
 
+class TestAutoMode:
+    """Auto mode selection is gated on modeled weight traffic (ADVICE r4),
+    with the measured envelope (mode_crossover.json: n_inner wins through
+    4.1x modeled traffic) hard-coded as the threshold."""
+
+    def _pick(self, t_pad, e, tile_m=32, k=4096, n_pad=14336, x_b=2):
+        from fused4bit_tpu.ops.grouped_matmul import _pick_mode_and_tile_n
+
+        mode, _ = _pick_mode_and_tile_n(
+            t_pad, k, n_pad, e, x_b, tile_m, None, None
+        )
+        return mode
+
+    def test_decode_size_picks_n_inner(self):
+        # Mixtral T=32: 10 tiles, 8 experts -> 1.25x traffic, measured 2x win
+        assert self._pick(320, 8) == "n_inner"
+
+    def test_mid_size_within_envelope_picks_n_inner(self):
+        # T=256: 24 tiles -> 3x traffic, measured 1.35x win
+        assert self._pick(768, 8) == "n_inner"
+
+    def test_prefill_within_envelope_picks_n_inner(self):
+        # T=2048, tile_m=128: 33 tiles -> 4.1x traffic, measured 1.21x win
+        assert self._pick(4224, 8, tile_m=128) == "n_inner"
+
+    def test_past_envelope_defers_to_traffic_model(self):
+        # 132 tiles / 8 experts -> 16.5x modeled weight traffic: beyond any
+        # measured n_inner win; auto must NOT pick it on a tiny-x dispatch
+        assert self._pick(4224, 8, tile_m=32) != "n_inner"
+
+
 class TestCapacityPlan:
     def test_capacity_layout_is_per_expert_blocks(self, rng):
         from fused4bit_tpu.layers.moe import make_capacity_plan
