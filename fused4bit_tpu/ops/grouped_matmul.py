@@ -548,6 +548,134 @@ def _grouped_a8_kernel(
     o_ref[:] = (s_ref[0, 0, :][None, :] * sx_ref[:] * yq).astype(o_ref.dtype)
 
 
+def _grouped_a8_fused_kernel(
+    gid_ref,      # [num_tiles] i32 (scalar prefetch)
+    x_ref,        # [TM, K] bf16/f32 RAW activations (quantized in-kernel)
+    w_ref,        # [1, TN, K/2] u8 planar
+    s_ref,        # [1, 1, TN] f32
+    z_ref,        # [1, 1, TN] f32
+    o_ref,        # [TM, TN]
+    xq_ref,       # [TM, K] i8 scratch
+    sx_ref,       # [TM, 1] f32 scratch
+    *scratch,     # (lo_ref, vhi_ref) i8 [TN, K/2] when cache_unpack
+    k_half: int,
+    cache_unpack: bool = False,
+):
+    """`_grouped_a8_kernel` with the int8 activation quantization fused into
+    the prologue (same trade as ops.int4_matmul._int4_a8_fused_kernel: the
+    host-op quantize is separate XLA dispatches worth ~8% of a decode-size
+    call; fused only on shallow-K where the per-step requantize VPU cost is
+    below the saved glue). Quantization recomputes at every grid step —
+    (i, j)-local scratch, no cross-step carry (a cross-j carry variant
+    crashed the TPU worker in the linear kernel, round 5)."""
+    xf = x_ref[:].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+    sxv = jnp.maximum(amax, 1e-8) / 127.0
+    sx_ref[:] = sxv
+    xq_ref[:] = jnp.clip(jnp.round(xf / sxv), -127, 127).astype(jnp.int8)
+
+    if cache_unpack:
+        lo_ref, vhi_ref = scratch
+        i = pl.program_id(1)
+        changed = (i == 0) | (gid_ref[i] != gid_ref[jnp.maximum(i - 1, 0)])
+
+        @pl.when(changed)
+        def _unpack():
+            p = w_ref[0]
+            lo_ref[...] = pltpu.bitcast(p & 0x0F, jnp.int8)
+            vhi_ref[...] = pltpu.bitcast(p & 0xF0, jnp.int8)
+
+        lo = lo_ref[...]
+        vhi = vhi_ref[...]
+    else:
+        p = w_ref[0]
+        lo = (p & 0x0F).astype(jnp.int8)
+        vhi = pltpu.bitcast(p & 0xF0, jnp.int8)
+
+    x_lo = xq_ref[:, :k_half]
+    x_hi = xq_ref[:, k_half:]
+    dims = (((1,), (1,)), ((), ()))
+    acc_lo = jax.lax.dot_general(x_lo, lo, dims, preferred_element_type=jnp.int32)
+    acc_vhi = jax.lax.dot_general(x_hi, vhi, dims, preferred_element_type=jnp.int32)
+    xsl = jnp.sum(x_lo.astype(jnp.int32), axis=1, keepdims=True)
+    xsh = jnp.sum(x_hi.astype(jnp.int32), axis=1, keepdims=True)
+    zp = z_ref[0, 0, :][None, :]
+    yq = (
+        (acc_lo + (acc_vhi >> 4) + 8 * xsh).astype(jnp.float32)
+        - zp * (xsl + xsh).astype(jnp.float32)
+    )
+    o_ref[:] = (s_ref[0, 0, :][None, :] * sx_ref[:] * yq).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_m", "tile_n", "out_dtype", "interpret", "m_inner"),
+)
+def _grouped_a8_fused_padded(
+    x, tile_group_ids, packed, scales, zps,
+    *, tile_m, tile_n, out_dtype, interpret, m_inner,
+):
+    t_pad, k = x.shape
+    e, n, k_half = packed.shape
+    num_tiles = t_pad // tile_m
+    kernel = functools.partial(
+        _grouped_a8_fused_kernel, k_half=k_half, cache_unpack=m_inner
+    )
+    scratch_shapes = [
+        pltpu.VMEM((tile_m, k), jnp.int8),
+        pltpu.VMEM((tile_m, 1), jnp.float32),
+    ] + (
+        [
+            pltpu.VMEM((tile_n, k_half), jnp.int8),
+            pltpu.VMEM((tile_n, k_half), jnp.int8),
+        ]
+        if m_inner
+        else []
+    )
+
+    if m_inner:
+        grid = (n // tile_n, num_tiles)
+        mi = lambda j, i, g: i  # noqa: E731
+        ni = lambda j, i, g: j  # noqa: E731
+    else:
+        grid = (num_tiles, n // tile_n)
+        mi = lambda i, j, g: i  # noqa: E731
+        ni = lambda i, j, g: j  # noqa: E731
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, k), lambda *a: (mi(*a), 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, tile_n, k_half),
+                lambda *a: (a[-1][mi(*a)], ni(*a), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, tile_n),
+                lambda *a: (a[-1][mi(*a)], 0, ni(*a)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, tile_n),
+                lambda *a: (a[-1][mi(*a)], 0, ni(*a)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_m, tile_n), lambda *a: (mi(*a), ni(*a)), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=scratch_shapes,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t_pad, n), out_dtype),
+        interpret=interpret,
+    )(tile_group_ids, x, packed, scales[:, None, :], zps[:, None, :])
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("tile_m", "tile_n", "out_dtype", "interpret", "m_inner"),
@@ -626,6 +754,7 @@ def grouped_int4_matmul_a8(
     tile_n: Optional[int] = None,
     out_dtype=None,
     interpret: Optional[bool] = None,
+    fuse_quant: Optional[bool] = None,
 ) -> jnp.ndarray:
     """w4a8 grouped GEMM: per-row int8 activation quant + integer MXU dots.
 
@@ -647,10 +776,19 @@ def grouped_int4_matmul_a8(
     if out_dtype is None:
         out_dtype = x_sorted.dtype
 
-    xf = x_sorted.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
-    sx = jnp.clip(amax, min=1e-8) / 127.0
-    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    if fuse_quant is None:
+        # Unlike the linear kernel (where fusing the quantize in-kernel wins
+        # on shallow-K), the grouped kernel's n_inner grid runs MANY steps
+        # per m-tile (one per n-tile of the mapped expert, e.g. 14 at
+        # Mixtral), re-quantizing the x block each step: measured +9% at
+        # decode (T32 w4a8 0.405 -> 0.443 ms, mixtral_sweep_device regen,
+        # round 5). Host-op quantize amortizes over the whole call — keep it.
+        fuse_quant = False
+    if not fuse_quant:
+        xf = x_sorted.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+        sx = jnp.clip(amax, min=1e-8) / 127.0
+        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
 
     # Pick tile_n minimizing m_inner HBM traffic under the VMEM budget:
     # larger n-tiles cut the x re-stream factor (n_pad/tn) — at Mixtral
@@ -694,12 +832,20 @@ def grouped_int4_matmul_a8(
         <= x_bytes + (t_pad // tile_m) * (w_bytes // e)
     )
 
-    out = _grouped_a8_padded(
-        xq, sx.astype(jnp.float32), tile_group_ids.astype(jnp.int32), packed,
-        scales.astype(jnp.float32), zps.astype(jnp.float32),
-        tile_m=tile_m, tile_n=tn, out_dtype=out_dtype, interpret=interpret,
-        m_inner=m_inner,
-    )
+    if fuse_quant:
+        out = _grouped_a8_fused_padded(
+            x_sorted, tile_group_ids.astype(jnp.int32), packed,
+            scales.astype(jnp.float32), zps.astype(jnp.float32),
+            tile_m=tile_m, tile_n=tn, out_dtype=out_dtype,
+            interpret=interpret, m_inner=m_inner,
+        )
+    else:
+        out = _grouped_a8_padded(
+            xq, sx.astype(jnp.float32), tile_group_ids.astype(jnp.int32),
+            packed, scales.astype(jnp.float32), zps.astype(jnp.float32),
+            tile_m=tile_m, tile_n=tn, out_dtype=out_dtype,
+            interpret=interpret, m_inner=m_inner,
+        )
     return out[:, :n]
 
 
@@ -717,49 +863,47 @@ def _grouped_pg_kernel(
     zlo_ref,      # [1, TN, Gh] f32 — lo-half zero-points (integer-valued)
     shi16_ref,    # [1, TN, Gh] f32 — hi-half scales / 16
     chi_ref,      # [1, TN, Gh] f32 — hi-half 128 - 16*zp
-    e_ref,        # [Gh, K/2] f32 — 0/1 group->column selection matrix
     o_ref,        # [TM, TN]
     *,
     k_half: int,
+    group_size: int,
     compute_dtype,
 ):
-    # Same structure as ops.int4_matmul._int4_group_kernel (see the design
-    # comment there): per-group scales are expanded to per-column affine
-    # coefficient matrices ON THE MXU via the constant 0/1 selection matrix
-    # (exact: one nonzero product per output element), the weight tile is
-    # dequantized with fully static elementwise ops, and ONE fat full-K/2
-    # dot per half does the matmul — the per_row kernel's DMA and MXU shape.
-    # Halves are sequenced (expand -> dequant -> dot each) so their [TN, K/2]
-    # temporaries never coexist; the hi-half constants are pre-folded so its
-    # dequant is one add + one multiply. The round-2 body (2*G skinny dots +
-    # 2*G accumulator rescales) measured 1.6-2.6x slower than per_row; a
-    # fori_loop writing a dequant scratch via dynamic lane offsets cost ~45
-    # stack bytes per scratch element in Mosaic and OOM'd scoped VMEM.
+    # Same round-5 structure as ops.int4_matmul._int4_group_kernel (see the
+    # design comment there): a group is a static, lane-aligned block of one
+    # planar half, so the dequant unrolls over groups with compile-time
+    # slices and [TN, 1]-broadcast affine coefficients, then ONE fat
+    # full-K/2 dot per half — the per_row kernel's DMA and MXU shape.
+    # Halves are sequenced so their [TN, K/2] temporaries never coexist;
+    # the hi-half constants are pre-folded so its dequant is one add + one
+    # multiply per block.
     cd = compute_dtype
     prec = (
         jax.lax.Precision.HIGHEST if cd == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
-    edims = (((1,), (0,)), ((), ()))
-    e = e_ref[...].astype(cd)
-
-    def expand(ref):
-        return jax.lax.dot_general(
-            ref[0].astype(cd), e, edims, preferred_element_type=jnp.float32
-        ).astype(cd)
-
+    gh = k_half // group_size
     p = w_ref[0]
     dims = (((1,), (1,)), ((), ()))
 
+    def dequant(q, s_ref, c_ref, sign):
+        parts = []
+        for g in range(gh):
+            blk = q[:, g * group_size:(g + 1) * group_size]
+            s = s_ref[0][:, g:g + 1].astype(cd)
+            c = c_ref[0][:, g:g + 1].astype(cd)
+            parts.append(s * (blk + sign * c))
+        return jnp.concatenate(parts, axis=1)
+
     q_lo = (p & 0x0F).astype(jnp.int8).astype(cd)
-    wd_lo = expand(slo_ref) * (q_lo - expand(zlo_ref))  # (q - zp) exact in cd
+    wd_lo = dequant(q_lo, slo_ref, zlo_ref, -1)   # s*(q - zp), exact in cd
     acc = jax.lax.dot_general(
         x_ref[:, :k_half].astype(cd), wd_lo, dims,
         preferred_element_type=jnp.float32, precision=prec,
     )
 
     vhi = pltpu.bitcast(p & 0xF0, jnp.int8).astype(cd)  # 16*(q_hi - 8)
-    wd_hi = expand(shi16_ref) * (vhi + expand(chi_ref))  # == s*(q - zp), exact
+    wd_hi = dequant(vhi, shi16_ref, chi_ref, +1)  # == s*(q - zp), exact
     acc += jax.lax.dot_general(
         x_ref[:, k_half:].astype(cd), wd_hi, dims,
         preferred_element_type=jnp.float32, precision=prec,
@@ -782,13 +926,14 @@ def _grouped_pg_padded(
 
     t_pad, k = x_sorted.shape
     e, n, k_half = packed.shape
-    slo, zlo, shi16, chi, eye = _pg_scale_operands(
+    slo, zlo, shi16, chi = _pg_scale_operands(
         scales, zps, k_half, group_size
-    )  # each [E, N, Gh]; eye [Gh, K/2]
+    )  # each [E, N, Gh]
     gh = slo.shape[-1]
     num_tiles = t_pad // tile_m
     kernel = functools.partial(
-        _grouped_pg_kernel, k_half=k_half, compute_dtype=compute_dtype
+        _grouped_pg_kernel, k_half=k_half, group_size=group_size,
+        compute_dtype=compute_dtype,
     )
     if m_inner:
         grid = (n // tile_n, num_tiles)
@@ -817,7 +962,6 @@ def _grouped_pg_padded(
                 memory_space=pltpu.VMEM,
             ),
             sblk(), sblk(), sblk(), sblk(),
-            pl.BlockSpec((gh, k_half), lambda *a: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (tile_m, tile_n), lambda *a: (mi(*a), ni(*a)), memory_space=pltpu.VMEM
@@ -828,7 +972,7 @@ def _grouped_pg_padded(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t_pad, n), out_dtype),
         interpret=interpret,
-    )(tile_group_ids, x_sorted, packed, slo, zlo, shi16, chi, eye)
+    )(tile_group_ids, x_sorted, packed, slo, zlo, shi16, chi)
 
 
 def grouped_int4_matmul_per_group(
@@ -877,12 +1021,11 @@ def grouped_int4_matmul_per_group(
         # joint (tile_m-aware) budget, mirroring int4_matmul_per_group: the
         # x block scales with tile_m, so a prefill-sized tile_m with a wide
         # TN must shrink TN (64-sublane floor) to stay under scoped VMEM.
-        gh_pad = _round_up(k_half // gs, 8)
         cd_b = 4 if compute_dtype == jnp.float32 else 2
         # shrink in 128-lane multiples only (see int4_matmul_per_group)
         while (
             tile_m * k * cd_b + 4 * tn * k_half * cd_b
-            + gh_pad * k_half * 4 + tn * k_half + tile_m * tn * 4
+            + tn * k_half + tile_m * tn * 4
         ) > 16_000_000 and tn > 128:
             tn = max(128, tn // 2 // 128 * 128)
     n_pad = _round_up(n, tn)

@@ -223,6 +223,25 @@ class TestInt4MatmulPerGroup:
         want = reference_linear_qt(x, qt)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
 
+    def test_matches_reference_many_groups(self, rng):
+        """Multi-group and ODD group-count shapes through the round-5
+        static-block dequant (the flagship down-projection has gh=43 —
+        odd — which the retired expansion-dot design needed padding for)."""
+        from fused4bit_tpu.ops.int4_matmul import int4_matmul_per_group
+
+        for n, k in [(64, 1024), (96, 768)]:  # gh = 4 and gh = 3 per half
+            w = randw(rng, n, k)
+            qt = quantize(
+                w, granularity="per_group", group_size=128, layout="planar"
+            )
+            x = randw(rng, 8, k)
+            got = int4_matmul_per_group(x, qt)
+            want = reference_linear_qt(x, qt)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=2e-3,
+                err_msg=str((n, k)),
+            )
+
     def test_better_than_per_row_on_outlier_rows(self, rng):
         """per_group must beat per_row when a row has a localized outlier."""
         w = np.asarray(rng.standard_normal((32, 512)), np.float32)

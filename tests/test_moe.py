@@ -302,6 +302,29 @@ class TestGroupedA8:
         rel = float(jnp.max(jnp.abs(got - want))) / scale
         assert rel < 0.02
 
+    def test_grouped_a8_fused_quant_matches_host_quant(self, rng):
+        """In-kernel activation quantize (shallow-K default) vs host-op
+        quantize: same math, equality to well below one int8 code step
+        (see ops.int4_matmul test of the same contract)."""
+        from fused4bit_tpu.ops.grouped_matmul import grouped_int4_matmul_a8
+
+        w = randw(rng, E, N, K)
+        qt = quantize(w, layout="planar")
+        x = randw(rng, T, K)
+        r = topk_route(randw(rng, T, E), TOPK, E)
+        plan = make_dispatch_plan(r, E, tile_m=32)
+        for dt in (jnp.float32, jnp.bfloat16):
+            xs = dispatch(x.astype(dt), r, plan)
+            host = np.asarray(grouped_int4_matmul_a8(
+                xs, plan.tile_group_ids, qt, tile_m=32, fuse_quant=False
+            ), np.float32)
+            fused = np.asarray(grouped_int4_matmul_a8(
+                xs, plan.tile_group_ids, qt, tile_m=32, fuse_quant=True
+            ), np.float32)
+            np.testing.assert_allclose(
+                fused, host, rtol=0, atol=1e-4 * float(np.abs(host).max())
+            )
+
     def test_grouped_a8_end_to_end(self, rng):
         from fused4bit_tpu.ops.grouped_matmul import grouped_int4_matmul_a8
 
