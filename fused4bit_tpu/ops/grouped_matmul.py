@@ -863,47 +863,53 @@ def _grouped_pg_kernel(
     zlo_ref,      # [1, TN, Gh] f32 — lo-half zero-points (integer-valued)
     shi16_ref,    # [1, TN, Gh] f32 — hi-half scales / 16
     chi_ref,      # [1, TN, Gh] f32 — hi-half 128 - 16*zp
+    e_ref,        # [Gh, K/2] f32 — 0/1 group->column selection matrix
     o_ref,        # [TM, TN]
     *,
     k_half: int,
-    group_size: int,
     compute_dtype,
 ):
-    # Same round-5 structure as ops.int4_matmul._int4_group_kernel (see the
-    # design comment there): a group is a static, lane-aligned block of one
-    # planar half, so the dequant unrolls over groups with compile-time
-    # slices and [TN, 1]-broadcast affine coefficients, then ONE fat
-    # full-K/2 dot per half — the per_row kernel's DMA and MXU shape.
-    # Halves are sequenced so their [TN, K/2] temporaries never coexist;
-    # the hi-half constants are pre-folded so its dequant is one add + one
-    # multiply per block.
+    # Same structure as ops.int4_matmul._int4_group_kernel (see the design
+    # comment there): per-group scales are expanded to per-column affine
+    # coefficient matrices ON THE MXU via the constant 0/1 selection matrix
+    # (exact: one nonzero product per output element), the weight tile is
+    # dequantized with fully static elementwise ops, and ONE fat full-K/2
+    # dot per half does the matmul — the per_row kernel's DMA and MXU shape.
+    # Halves are sequenced (expand -> dequant -> dot each) so their [TN, K/2]
+    # temporaries never coexist; the hi-half constants are pre-folded so its
+    # dequant is one add + one multiply. The round-2 body (2*G skinny dots +
+    # 2*G accumulator rescales) measured 1.6-2.6x slower than per_row; a
+    # fori_loop writing a dequant scratch via dynamic lane offsets cost ~45
+    # stack bytes per scratch element in Mosaic and OOM'd scoped VMEM. A
+    # round-5 static-block-slice variant ([TN, 1]-broadcast affine per
+    # lane-aligned group block, no expansion) measured 15-18% SLOWER still
+    # (T32 3.13 vs 2.65 ms; device_bw_pg_r5.json) and failed to compile at
+    # tile_n >= 384 — the expansion-dot form stays.
     cd = compute_dtype
     prec = (
         jax.lax.Precision.HIGHEST if cd == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
-    gh = k_half // group_size
+    edims = (((1,), (0,)), ((), ()))
+    e = e_ref[...].astype(cd)
+
+    def expand(ref):
+        return jax.lax.dot_general(
+            ref[0].astype(cd), e, edims, preferred_element_type=jnp.float32
+        ).astype(cd)
+
     p = w_ref[0]
     dims = (((1,), (1,)), ((), ()))
 
-    def dequant(q, s_ref, c_ref, sign):
-        parts = []
-        for g in range(gh):
-            blk = q[:, g * group_size:(g + 1) * group_size]
-            s = s_ref[0][:, g:g + 1].astype(cd)
-            c = c_ref[0][:, g:g + 1].astype(cd)
-            parts.append(s * (blk + sign * c))
-        return jnp.concatenate(parts, axis=1)
-
     q_lo = (p & 0x0F).astype(jnp.int8).astype(cd)
-    wd_lo = dequant(q_lo, slo_ref, zlo_ref, -1)   # s*(q - zp), exact in cd
+    wd_lo = expand(slo_ref) * (q_lo - expand(zlo_ref))  # (q - zp) exact in cd
     acc = jax.lax.dot_general(
         x_ref[:, :k_half].astype(cd), wd_lo, dims,
         preferred_element_type=jnp.float32, precision=prec,
     )
 
     vhi = pltpu.bitcast(p & 0xF0, jnp.int8).astype(cd)  # 16*(q_hi - 8)
-    wd_hi = dequant(vhi, shi16_ref, chi_ref, +1)  # == s*(q - zp), exact
+    wd_hi = expand(shi16_ref) * (vhi + expand(chi_ref))  # == s*(q - zp), exact
     acc += jax.lax.dot_general(
         x_ref[:, k_half:].astype(cd), wd_hi, dims,
         preferred_element_type=jnp.float32, precision=prec,
@@ -926,14 +932,13 @@ def _grouped_pg_padded(
 
     t_pad, k = x_sorted.shape
     e, n, k_half = packed.shape
-    slo, zlo, shi16, chi = _pg_scale_operands(
+    slo, zlo, shi16, chi, eye = _pg_scale_operands(
         scales, zps, k_half, group_size
-    )  # each [E, N, Gh]
+    )  # each [E, N, Gh]; eye [Gh, K/2]
     gh = slo.shape[-1]
     num_tiles = t_pad // tile_m
     kernel = functools.partial(
-        _grouped_pg_kernel, k_half=k_half, group_size=group_size,
-        compute_dtype=compute_dtype,
+        _grouped_pg_kernel, k_half=k_half, compute_dtype=compute_dtype
     )
     if m_inner:
         grid = (n // tile_n, num_tiles)
@@ -962,6 +967,7 @@ def _grouped_pg_padded(
                 memory_space=pltpu.VMEM,
             ),
             sblk(), sblk(), sblk(), sblk(),
+            pl.BlockSpec((gh, k_half), lambda *a: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (tile_m, tile_n), lambda *a: (mi(*a), ni(*a)), memory_space=pltpu.VMEM
@@ -972,7 +978,7 @@ def _grouped_pg_padded(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t_pad, n), out_dtype),
         interpret=interpret,
-    )(tile_group_ids, x_sorted, packed, slo, zlo, shi16, chi)
+    )(tile_group_ids, x_sorted, packed, slo, zlo, shi16, chi, eye)
 
 
 def grouped_int4_matmul_per_group(
@@ -1021,11 +1027,12 @@ def grouped_int4_matmul_per_group(
         # joint (tile_m-aware) budget, mirroring int4_matmul_per_group: the
         # x block scales with tile_m, so a prefill-sized tile_m with a wide
         # TN must shrink TN (64-sublane floor) to stay under scoped VMEM.
+        gh_pad = _round_up(k_half // gs, 8)
         cd_b = 4 if compute_dtype == jnp.float32 else 2
         # shrink in 128-lane multiples only (see int4_matmul_per_group)
         while (
             tile_m * k * cd_b + 4 * tn * k_half * cd_b
-            + tn * k_half + tile_m * tn * 4
+            + gh_pad * k_half * 4 + tn * k_half + tile_m * tn * 4
         ) > 16_000_000 and tn > 128:
             tn = max(128, tn // 2 // 128 * 128)
     n_pad = _round_up(n, tn)

@@ -399,25 +399,23 @@ def quantized_linear(x, qt: QuantizedTensor, **kw):
 # made Mosaic allocate ~45 bytes of stack per scratch element — 92 MB at
 # tile_n=512 — so it never fit either.)
 #
-# Round-5 structure — STATIC BLOCK SLICES, no expansion at all: a group
-# occupies `group_size` (>= 128, lane-aligned) CONSECUTIVE lanes of one
-# planar half, so the per-column scale is constant over each static
-# 128-multiple lane block. The dequant therefore unrolls over groups with
-# compile-time slices and [TN, 1]-broadcast affine coefficients:
+# Round-3 structure — fully static, no scratch, no dynamic offsets: expand
+# the per-(row, group) scales to per-(row, column) matrices ON THE MXU with
+# a constant 0/1 selection matrix E[g, c] = (c // group_size == g)
+# (round 5 re-tested a no-expansion variant — static lane-aligned group
+# blocks dequantized with [TN, 1]-broadcast affine coefficients — and it
+# measured 15-18% SLOWER (up 227 vs 194 us, device_bw_pg_r5.json) and
+# failed to compile at tile_n >= 384; the expansion form stays):
 #
-#   wd_lo[:, g*gs:(g+1)*gs] = s_lo[:, g:g+1] * (q_lo_block - zp_lo[:, g:g+1])
-#   wd_hi[:, g*gs:(g+1)*gs] = (s_hi/16)[:, g:g+1] * (vhi_block + c_hi[:, g:g+1])
+#   A   = s_blk  @ E     (each output element selects exactly one scale ->
+#   Z   = zp_blk @ E      the dot is EXACT: one nonzero product per column)
+#   wd_lo = A_lo * (q_lo - Z_lo)
+#   wd_hi = A_hi * (vhi/16 + (8 - Z_hi))        == s * (q_hi - zp)
 #
-# then ONE fat full-K/2 MXU dot per half — the per_row kernel's DMA and MXU
-# shape, and (unlike per_row) only +1 lane-broadcast per block of extra VPU
-# work. This replaces the round-3 MXU scale-expansion (0/1 selection-matrix
-# dots), whose 4 [TN, K/2]-sized expansion outputs made pg ~2.6x per_row
-# (device_bw.json pg128 rows); round 2's fori_loop version died on DYNAMIC
-# lane offsets (45 stack bytes per scratch element) — the unroll here is
-# fully static.
-#
-# (q - zp) and (vhi + 128 - 16*zp) are exact in bfloat16 (integers / 16x
-# integers within +-240), so the dequant rounds ONCE — an `A*q - (A*zp)`
+# then ONE fat full-K/2 MXU dot per half — identical DMA and MXU shape to
+# the per_row kernel; the expansions are [TN, G/2] x [G/2, K/2] flyweights.
+# (q - zp) and (vhi/16 + 8 - zp) are exact in bfloat16 (integers / 1/16
+# multiples within +-15), so the dequant rounds ONCE — an `A*q - (A*zp)`
 # form rounds twice with cancellation and measured ~3% per-weight error.
 # Numerics match "dequantize to compute_dtype, then matmul" (the golden-
 # reference formulation).
@@ -433,10 +431,10 @@ def _int4_group_kernel(
     zlo_ref,      # [TN, Gh] f32 — lo-half zero-points (integer-valued)
     shi16_ref,    # [TN, Gh] f32 — hi-half scales / 16 (exact exponent shift)
     chi_ref,      # [TN, Gh] f32 — hi-half 128 - 16*zp (integer-valued)
+    e_ref,        # [Gh, K/2] f32 — 0/1 group->column selection matrix
     o_ref,        # [TM, TN]
     *,
     k_half: int,
-    group_size: int,
     compute_dtype,
 ):
     cd = compute_dtype
@@ -444,25 +442,23 @@ def _int4_group_kernel(
         jax.lax.Precision.HIGHEST if cd == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
-    gh = k_half // group_size
+    edims = (((1,), (0,)), ((), ()))
+    e = e_ref[...].astype(cd)
+
+    def expand(ref):
+        return jax.lax.dot_general(
+            ref[...].astype(cd), e, edims, preferred_element_type=jnp.float32
+        ).astype(cd)
+
     p = w_ref[...]
     dims = (((1,), (1,)), ((), ()))
 
-    def dequant(q, s_ref, c_ref, sign):
-        parts = []
-        for g in range(gh):
-            blk = q[:, g * group_size:(g + 1) * group_size]
-            s = s_ref[:, g:g + 1].astype(cd)
-            c = c_ref[:, g:g + 1].astype(cd)
-            parts.append(s * (blk + sign * c))
-        return jnp.concatenate(parts, axis=1)
-
-    # Each half runs unpack -> dequant -> dot to completion before the other
+    # Each half runs expand -> dequant -> dot to completion before the other
     # half's temporaries materialize: the [TN, K/2] compute-dtype arrays are
     # the VMEM hog, and halving the peak live set is what lets wider tiles
     # fit (~16 MB/core total).
     q_lo = (p & 0x0F).astype(jnp.int8).astype(cd)
-    wd_lo = dequant(q_lo, slo_ref, zlo_ref, -1)     # s * (q - zp), exact in cd
+    wd_lo = expand(slo_ref) * (q_lo - expand(zlo_ref))  # (q - zp) exact in cd
     acc = jax.lax.dot_general(
         x_ref[:, :k_half].astype(cd), wd_lo, dims,
         preferred_element_type=jnp.float32, precision=prec,
@@ -471,10 +467,11 @@ def _int4_group_kernel(
     # hi half: vhi = 16*(q_hi - 8) (planar XOR-8 byte), so
     #   s*(q - zp) = (s/16) * (vhi + (128 - 16*zp))
     # with vhi + c integer multiples of 16 in [-240, 240] — exact in bf16 —
-    # and s/16 an exact exponent shift; the big-array work is one add and
-    # one multiply per block.
+    # and s/16 an exact exponent shift. Both constants fold into the tiny
+    # [TN, Gh] pre-expansion operands, so the big-array work is one add and
+    # one multiply (vs mul+add+sub+mul in the round-3 form).
     vhi = pltpu.bitcast(p & 0xF0, jnp.int8).astype(cd)
-    wd_hi = dequant(vhi, shi16_ref, chi_ref, +1)
+    wd_hi = expand(shi16_ref) * (vhi + expand(chi_ref))
     acc += jax.lax.dot_general(
         x_ref[:, k_half:].astype(cd), wd_hi, dims,
         preferred_element_type=jnp.float32, precision=prec,
@@ -483,18 +480,30 @@ def _int4_group_kernel(
 
 
 def _pg_scale_operands(scales, zps, k_half, group_size):
-    """Split per-group scale/zp [..., N, G] into the kernel's affine
-    operands: (s_lo, zp_lo, s_hi/16, 128 - 16*zp_hi). The hi-half constants
-    are folded here so the kernel's big-array dequant is one add + one
-    multiply per block (see `_int4_group_kernel`); both folds are exact
-    (exponent shift / small integers)."""
+    """Split per-group scale/zp [..., N, G] into the kernel's pre-expansion
+    operands: (s_lo, zp_lo, s_hi/16, 128 - 16*zp_hi) plus the 0/1
+    group->column expansion matrix. The hi-half constants are folded here so
+    the kernel's big-array dequant is one add + one multiply (see
+    `_int4_group_kernel`); both folds are exact (exponent shift / small
+    integers).
+
+    The group-count dim is padded to a multiple of 8 (sublane alignment):
+    Mosaic 500s on expand-dots whose contraction dim is an odd size like 43
+    (= 5504/128, the flagship down-projection). Padded rows of E are all
+    zero, so they select nothing — the expansion stays exact."""
     gh = k_half // group_size
+    gh_pad = _round_up(gh, 8)
     s = scales.astype(jnp.float32)
     z = zps.astype(jnp.float32)
-    slo, zlo = s[..., :gh], z[..., :gh]
-    shi16 = s[..., gh:] * 0.0625
-    chi = 128.0 - 16.0 * z[..., gh:]
-    return slo, zlo, shi16, chi
+    eye = (
+        jnp.arange(k_half, dtype=jnp.int32)[None, :] // group_size
+        == jnp.arange(gh_pad, dtype=jnp.int32)[:, None]
+    ).astype(jnp.float32)
+    pad = [(0, 0)] * (s.ndim - 1) + [(0, gh_pad - gh)]
+    slo, zlo = jnp.pad(s[..., :gh], pad), jnp.pad(z[..., :gh], pad)
+    shi16 = jnp.pad(s[..., gh:] * 0.0625, pad)
+    chi = jnp.pad(128.0 - 16.0 * z[..., gh:], pad)
+    return slo, zlo, shi16, chi, eye
 
 
 @functools.partial(
@@ -509,12 +518,13 @@ def _int4_group_padded(
 ):
     m, k = x.shape
     n, k_half = packed.shape
-    slo, zlo, shi16, chi = _pg_scale_operands(scales, zps, k_half, group_size)
+    slo, zlo, shi16, chi, eye = _pg_scale_operands(
+        scales, zps, k_half, group_size
+    )
     gh = slo.shape[-1]
     grid = (m // tile_m, n // tile_n)
     kernel = functools.partial(
-        _int4_group_kernel, k_half=k_half, group_size=group_size,
-        compute_dtype=compute_dtype,
+        _int4_group_kernel, k_half=k_half, compute_dtype=compute_dtype
     )
     sblk = lambda: pl.BlockSpec(  # noqa: E731
         (tile_n, gh), lambda i, j: (j, 0), memory_space=pltpu.VMEM
@@ -526,6 +536,7 @@ def _int4_group_padded(
             pl.BlockSpec((tile_m, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, k_half), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             sblk(), sblk(), sblk(), sblk(),
+            pl.BlockSpec((gh, k_half), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (tile_m, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM
@@ -535,7 +546,7 @@ def _int4_group_padded(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(x, packed, slo, zlo, shi16, chi)
+    )(x, packed, slo, zlo, shi16, chi, eye)
 
 
 def int4_matmul_per_group(
@@ -574,25 +585,28 @@ def int4_matmul_per_group(
     m_pad = max(_round_up(m, 8), 8)
     tile_m = m_pad if m_pad <= 256 else 256
     m_pad = _round_up(m_pad, tile_m)
-    # The sequenced-halves kernel keeps ~3 [TN, K/2]-sized temporaries live
-    # at peak (unpacked q + dequantized wd of ONE half, plus concat
-    # assembly); keep TN*K/2 bounded or Mosaic's VMEM spilling makes the
-    # remote compile pathological (>25 min observed at [512, 5504] with the
-    # round-3 6-live form).
+    # The sequenced-halves kernel keeps ~4 [TN, K/2]-sized temporaries live
+    # at peak (expand pair + unpacked q + dequantized wd of ONE half); keep
+    # TN*K/2 bounded or Mosaic's VMEM spilling makes the remote compile
+    # pathological (>25 min observed at [512, 5504] with the round-3 6-live
+    # form).
     tn_cap = max(128, (1_600_000 // k_half) // 128 * 128)
     tn = tile_n or min(512, tn_cap, _round_up(n, 128))
     if tile_n is None:
         # Full working-set budget: x block + ~4 compute-dtype temporaries +
-        # w block must fit scoped VMEM (~16 MB/core); clamp combos that blow
-        # past it (TN floor 64 sublanes, then TM) so prefill-sized TM with a
-        # wide TN can never re-create the [512, 5504] pathology.
+        # selection matrix + w block must fit scoped VMEM (~16 MB/core);
+        # clamp combos that blow past it (TN floor 64 sublanes, then TM) so
+        # prefill-sized TM with a wide TN can never re-create the
+        # [512, 5504] pathology.
+        gh_pad = _round_up(k_half // gs, 8)
         budget = 16_000_000
         cd_b = 4 if compute_dtype == jnp.float32 else 2
 
         def ws(tm, tn_):
             return (
                 tm * k * cd_b             # x block
-                + 4 * tn_ * k_half * cd_b  # unpack/dequant temporaries
+                + 4 * tn_ * k_half * cd_b  # expand/dequant temporaries
+                + gh_pad * k_half * 4     # selection matrix
                 + tn_ * k_half            # packed w block
                 + tm * tn_ * 4            # accumulator/out
             )

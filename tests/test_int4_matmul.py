@@ -224,9 +224,9 @@ class TestInt4MatmulPerGroup:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
 
     def test_matches_reference_many_groups(self, rng):
-        """Multi-group and ODD group-count shapes through the round-5
-        static-block dequant (the flagship down-projection has gh=43 —
-        odd — which the retired expansion-dot design needed padding for)."""
+        """Multi-group and ODD group-count shapes (the flagship
+        down-projection has gh=43 — odd — which exercises the expansion
+        design's group-count padding)."""
         from fused4bit_tpu.ops.int4_matmul import int4_matmul_per_group
 
         for n, k in [(64, 1024), (96, 768)]:  # gh = 4 and gh = 3 per half
