@@ -62,9 +62,19 @@ FIXTURE_NAME = os.environ.get("TRAIN_TINY_NAME", "tiny_trained")
 
 
 def load_corpus() -> np.ndarray:
-    """Real English text: the repo's documentation, byte tokens."""
+    """Real English text: the repo's documentation, byte tokens.
+
+    The committed h=128 fixture trained on the first seven paths (its
+    corpus is snapshotted next to the fixture, so retraining changes
+    nothing for it); the h>=256 fixtures add the rest — the round-5 h256
+    run on the small corpus overfit hard (train 0.31 vs held-out 2.04
+    nll/byte at 1500 steps), so bigger models get more text and fewer
+    steps (TRAIN_TINY_STEPS)."""
     paths = ["README.md", "AGENTS.md", "SURVEY.md", "docs/tpu-guide.md",
-             "benchmark/README.md", "NOTES_r1.md", "PARITY.md"]
+             "benchmark/README.md", "NOTES_r1.md", "PARITY.md",
+             "docs/operations-guide.md", "docs/api-reference.md",
+             "NOTES_r2.md", "NOTES_r3.md", "NOTES_r4.md", "BASELINE.md",
+             "VERDICT.md", "ADVICE.md"]
     text = "\n\n".join(
         open(os.path.join(REPO, p), errors="ignore").read()
         for p in paths if os.path.exists(os.path.join(REPO, p))
