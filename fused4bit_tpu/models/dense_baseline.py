@@ -210,6 +210,7 @@ def dense_from_quantized(
                 rope_theta=blk.attn.rope_theta,
                 top_k=blk.moe.top_k,
                 rms_eps=blk.rms_eps,
+                moe_impl=moe_impl,
             )
         )
     return DenseTransformer(

@@ -57,7 +57,11 @@ TINY_TRAINED = ModelConfig(
     max_seq_len=256,
 )
 
-SEQ, BATCH, STEPS, LR = 128, 16, int(os.environ.get("TRAIN_TINY_STEPS", "1000")), 3e-3
+SEQ, STEPS, LR = 128, int(os.environ.get("TRAIN_TINY_STEPS", "1000")), 3e-3
+# The jitted train step's peak HBM is ~linear in hidden*batch and already
+# ~15G at h256/batch16 on the bench chip (h384/batch16 OOMs at 22.4G needing
+# 15.75G); larger variants drop the batch instead.
+BATCH = int(os.environ.get("TRAIN_TINY_BATCH", "16"))
 FIXTURE_NAME = os.environ.get("TRAIN_TINY_NAME", "tiny_trained")
 
 

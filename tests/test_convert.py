@@ -230,3 +230,38 @@ class TestTrainedFixture:
         assert q["logit_cosine_sim"] > 0.95
         assert q["top1_agreement"] > 0.80
         assert q["nll_delta"] < 0.2
+
+    @pytest.mark.slow
+    def test_h256_fixture_tighter_gates(self):
+        """The TPU-trained h=256 fixture (15-doc corpus, steps selected by
+        held-out NLL) must clear TIGHTER gates than h128: quantization noise
+        shrinks as hidden width grows (error averages over more lanes), and
+        the committed artifact quality_trained_h256.json records nll_delta
+        0.044 / cosine 0.991 / top-1 0.87. Gates leave ~2x margin for
+        backend drift."""
+        import json
+        import subprocess
+        import sys as _sys
+        import os
+        import tempfile
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        fx = os.path.join(repo, "tests", "fixtures",
+                          "tiny_trained_h256_s1400.safetensors")
+        if not os.path.exists(fx):
+            pytest.skip("h256 fixture missing")
+        out = os.path.join(tempfile.mkdtemp(), "quality_h256.json")
+        env = dict(os.environ, QUALITY_EVAL_OUT=out, QUALITY_EVAL_FIXTURE=fx)
+        r = subprocess.run(
+            [_sys.executable, os.path.join(repo, "benchmark", "run_quality_eval.py")],
+            capture_output=True, text=True, timeout=2400, env=env,
+        )
+        assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+        res = json.load(open(out))
+        assert res["heldout_nll_bf16"] < 0.5 * res["uniform_random_nll"]
+        q = res["int4_router_dense"]
+        assert q["logit_cosine_sim"] > 0.97
+        assert q["top1_agreement"] > 0.82
+        assert q["nll_delta"] < 0.1
+        # per-group64 is the quality-path granularity: strictly better cosine
+        pg = res["int4_per_group64"]
+        assert pg["logit_cosine_sim"] >= q["logit_cosine_sim"] - 1e-3

@@ -215,6 +215,30 @@ class TestDenseTwin:
         dense = dense_from_quantized(m)
         assert dense.nbytes / m.nbytes > 2.0  # embed tables dilute the 4x
 
+    def test_moe_impl_is_plumbed_and_equivalent(self, model):
+        """dense_from_quantized(moe_impl=...) must actually reach the blocks
+        (regression: the arg was silently dropped, so every 'strong
+        streamed-einsum' baseline measurement ran the naive gather impl),
+        and the two impls must be the same function numerically."""
+        from fused4bit_tpu.models.dense_baseline import dense_from_quantized
+
+        cfg, m = model
+        strong = dense_from_quantized(m, dtype=jnp.float32, moe_impl="dense_all")
+        naive = dense_from_quantized(m, dtype=jnp.float32)
+        assert all(b.moe_impl == "dense_all" for b in strong.blocks)
+        assert all(b.moe_impl == "gather" for b in naive.blocks)
+        b, t = 2, 4
+        toks = jnp.asarray(np.arange(b * t).reshape(b, t) % cfg.vocab_size,
+                           jnp.int32)
+        ls, _ = strong(toks, strong.init_cache(cfg, b, 8, dtype=jnp.float32),
+                       jnp.arange(t))
+        ln, _ = naive(toks, naive.init_cache(cfg, b, 8, dtype=jnp.float32),
+                      jnp.arange(t))
+        np.testing.assert_allclose(
+            np.asarray(ls, np.float32), np.asarray(ln, np.float32),
+            rtol=2e-4, atol=2e-4,
+        )
+
 
 class TestFusedDecodeAttention:
     def test_kernel_matches_jnp_attention(self, rng, model):
