@@ -61,10 +61,14 @@ def build(k, n, pg=False, seed=0):
     for _ in range(REPEAT):
         key, k1 = jax.random.split(key)
         w = jax.random.normal(k1, (n, k), jnp.float32) * (k ** -0.5)
-        kwargs = (
-            dict(granularity="per_group", group_size=128, layout="planar")
-            if pg else dict(granularity="per_row", layout="planar")
-        )
+        if pg == "bp":
+            kwargs = dict(granularity="per_group", group_size=128,
+                          layout="planar_groups")
+        elif pg:
+            kwargs = dict(granularity="per_group", group_size=128,
+                          layout="planar")
+        else:
+            kwargs = dict(granularity="per_row", layout="planar")
         qs.append(quantize(w, **kwargs))
     return qs
 
@@ -408,6 +412,30 @@ def main():
                           flush=True)
                     continue
                 log(direction, f"pg128_tn{tn}", mod, op, wbytes_pg)
+
+        if want("pg128bp"):
+            # batched-partials per-group kernel (layout="planar_groups")
+            from fused4bit_tpu.quant.core import pad_rows
+
+            qbp = build(k, n, pg="bp", seed=3)
+            wbytes_pg = n * k // 2 + 8 * n * (k // 128)
+            for tn in (256, 512):
+                # rough VMEM gate: x halves + w3 + q3/v3 casts + partials
+                if 5 * tn * (k // 2) > 14_000_000:
+                    continue
+                qp = [pad_rows(q, tn) for q in qbp]
+                f = chain_fn(int4_matmul_per_group, qp[0], k, tile_n=tn)
+                try:
+                    mod, op = measure(
+                        lambda: np.asarray(f(x, *flatten(qp))),
+                        "_int4_group_bp_padded", traces=args.traces)
+                except Exception as err:
+                    results.setdefault(direction, {})[f"pg128bp_tn{tn}"] = {
+                        "error": str(err)[:200]}
+                    print(f"{direction} pg128bp_tn{tn} FAILED "
+                          f"{str(err)[:100]}", flush=True)
+                    continue
+                log(direction, f"pg128bp_tn{tn}", mod, op, wbytes_pg)
 
     with open(args.out, "w") as f:
         json.dump(doc, f, indent=1)

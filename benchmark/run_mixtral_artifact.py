@@ -103,11 +103,13 @@ def build_weights(seed=0):
             quantize(w, layout="planar"),
             quantize(w, layout="planar", granularity="per_group",
                      group_size=128),
+            quantize(w, layout="planar_groups", granularity="per_group",
+                     group_size=128),
             w.astype(jnp.bfloat16),
         )
 
-    qt, qt_pg, wb = jax.block_until_ready(make(jax.random.PRNGKey(seed)))
-    _WEIGHTS.update(qt=qt, qt_pg=qt_pg, wb=wb)
+    qt, qt_pg, qt_pgb, wb = jax.block_until_ready(make(jax.random.PRNGKey(seed)))
+    _WEIGHTS.update(qt=qt, qt_pg=qt_pg, qt_pgb=qt_pgb, wb=wb)
     return _WEIGHTS
 
 
@@ -168,6 +170,9 @@ def implementations(env, tile_m, which):
             xs, gids, q, tile_m=tile_m), (qt,))
     reg("pg128", lambda xs, q: grouped_int4_matmul_per_group(
         xs, gids, q, tile_m=tile_m), (qt_pg,))
+    # round-5 batched-partials per-group kernel (layout="planar_groups")
+    reg("pg128bp", lambda xs, q: grouped_int4_matmul_per_group(
+        xs, gids, q, tile_m=tile_m), (env["qt_pgb"],))
     reg("int4-dequant", int4_dequant, (qt,))
     reg("bf16-bmm", lambda xs, w: jnp.einsum(
         "eck,enk->ecn", xs[: E * cap].reshape(E, cap, K), w
@@ -293,7 +298,7 @@ def main(argv=None):
             cell_key = f"T{t}_{dist}"
             cell = results.setdefault(cell_key, {})
             extra = ["int4-xres", "int4-minner", "int4-ninner",
-                     "int4-ksplit", "pg128"]
+                     "int4-ksplit", "pg128", "pg128bp"]
             which = args.impls or (
                 core + extra if (t in modes_at and dist == "uniform") else core
             )

@@ -98,8 +98,18 @@ class QuantizedLinear:
         **quant_kw,
     ) -> "QuantizedLinear":
         """Quantize a dense [N, K] weight (reference from_linear,
-        `python/module.py:67-98`)."""
-        qt = quantize(weight, granularity=granularity, layout="planar", **quant_kw)
+        `python/module.py:67-98`).
+
+        per_group weights pack group-major (layout="planar_groups") when the
+        batched-partials kernel's constraints hold — it runs at per_row
+        speed vs the planar expansion-dot kernel's ~2.7x (ops.int4_matmul)."""
+        layout = "planar"
+        if granularity == "per_group":
+            gs = quant_kw.get("group_size", 128)
+            k_half = weight.shape[-1] // 2
+            if gs % 128 == 0 and k_half % gs == 0:
+                layout = "planar_groups"
+        qt = quantize(weight, granularity=granularity, layout=layout, **quant_kw)
         return cls(weight=qt, bias=bias, use_kernel=use_kernel)
 
     @classmethod
@@ -226,7 +236,7 @@ class QuantizedLinear:
             y = int4_matmul(x, w)
         elif (
             self.use_kernel
-            and w.layout == "planar"
+            and w.layout in ("planar", "planar_groups")
             and w.granularity == "per_group"
             and w.group_size % 128 == 0
             and (w.in_dim // 2) % w.group_size == 0

@@ -291,9 +291,18 @@ class MoEINT4:
         **kw,
     ) -> "MoEINT4":
         """Quantize stacked dense expert weights [E, N, K]
-        (reference `from_weights`, `python/moe_int4_module.py:107-120`)."""
+        (reference `from_weights`, `python/moe_int4_module.py:107-120`).
+
+        per_group experts pack group-major (layout="planar_groups") when
+        the batched-partials grouped kernel's constraints hold — per_row
+        speed vs the planar expansion-dot kernel's ~2.7x."""
+        layout = "planar"
+        if granularity == "per_group":
+            k_half = weights.shape[-1] // 2
+            if group_size % 128 == 0 and k_half % group_size == 0:
+                layout = "planar_groups"
         qt = quantize(
-            weights, granularity=granularity, layout="planar",
+            weights, granularity=granularity, layout=layout,
             group_size=group_size,
         )
         return cls(weight=qt, **kw)

@@ -981,6 +981,171 @@ def _grouped_pg_padded(
     )(tile_group_ids, x_sorted, packed, slo, zlo, shi16, chi, eye)
 
 
+# --- grouped per_group, batched-partials structure (planar_groups) --------
+# Port of ops.int4_matmul's round-5 bp kernel to the expert-grouped case:
+# the expert id comes from the scalar-prefetched tile map exactly like the
+# per_row grouped kernels; the group axis is a dot_general batch dim over
+# the expert's raw nibbles and scales apply to the [Gh, TM, TN] partials.
+# See ops/int4_matmul.py `_int4_group_bp_kernel` for the math + measured
+# rationale (linear: 1.01-1.08x per_row vs 2.7-2.9x for the expansion form).
+
+
+def _grouped_pg_bp_kernel(
+    gid_ref,      # [num_tiles] i32 (scalar prefetch)
+    xlo_ref,      # [Gh, TM, gs]
+    xhi_ref,      # [Gh, TM, gs]
+    w3_ref,       # [1, Gh, TN, gs] u8 planar_groups bytes (this expert)
+    a_ref,        # [1, 2*Gh, TN] f32 P multipliers (s_lo; s_hi/16)
+    xs_ref,       # [TM, Gc] f32 per-group column sums of x
+    c_ref,        # [1, Gc, TN] f32 zp/constant fold
+    o_ref,        # [TM, TN]
+    *,
+    compute_dtype,
+):
+    cd = compute_dtype
+    prec = (
+        jax.lax.Precision.HIGHEST if cd == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    gh = w3_ref.shape[1]
+    p3 = w3_ref[0]
+    a = a_ref[0]
+    dims = (((2,), (2,)), ((0,), (0,)))
+    acc = jax.lax.dot_general(
+        xs_ref[...], c_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    q3 = (p3 & 0x0F).astype(jnp.int8).astype(cd)
+    p_lo = jax.lax.dot_general(
+        xlo_ref[...].astype(cd), q3, dims,
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    acc += (a[0:gh][:, None, :] * p_lo).sum(0)
+    v3 = pltpu.bitcast(p3 & 0xF0, jnp.int8).astype(cd)
+    p_hi = jax.lax.dot_general(
+        xhi_ref[...].astype(cd), v3, dims,
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    acc += (a[gh : 2 * gh][:, None, :] * p_hi).sum(0)
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "tile_m", "tile_n", "group_size", "compute_dtype", "out_dtype",
+        "interpret", "m_inner",
+    ),
+)
+def _grouped_pg_bp_padded(
+    x_sorted, tile_group_ids, packed3, scales, zps,
+    *, tile_m, tile_n, group_size, compute_dtype, out_dtype, interpret, m_inner,
+):
+    from .int4_matmul import _bp_scale_operands
+
+    t_pad, k = x_sorted.shape
+    e, gh, n, gs = packed3.shape
+    k_half = gh * gs
+    a, c = _bp_scale_operands(scales, zps, gh)  # [E, 2Gh, N], [E, Gc, N]
+    gc = c.shape[-2]
+    xf = x_sorted.astype(jnp.float32)
+    xs = jnp.zeros((t_pad, gc), jnp.float32)
+    xs = xs.at[:, : 2 * gh].set(xf.reshape(t_pad, 2 * gh, gs).sum(-1))
+    xlo = jnp.moveaxis(x_sorted[:, :k_half].reshape(t_pad, gh, gs), 1, 0)
+    xhi = jnp.moveaxis(x_sorted[:, k_half:].reshape(t_pad, gh, gs), 1, 0)
+    num_tiles = t_pad // tile_m
+    kernel = functools.partial(_grouped_pg_bp_kernel, compute_dtype=compute_dtype)
+    if m_inner:
+        grid = (n // tile_n, num_tiles)
+        mi = lambda j, i, g: i  # noqa: E731
+        ni = lambda j, i, g: j  # noqa: E731
+    else:
+        grid = (num_tiles, n // tile_n)
+        mi = lambda i, j, g: i  # noqa: E731
+        ni = lambda i, j, g: j  # noqa: E731
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((gh, tile_m, gs), lambda *a_: (0, mi(*a_), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gh, tile_m, gs), lambda *a_: (0, mi(*a_), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gh, tile_n, gs),
+                         lambda *a_: (a_[-1][mi(*a_)], 0, ni(*a_), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * gh, tile_n),
+                         lambda *a_: (a_[-1][mi(*a_)], 0, ni(*a_)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, gc), lambda *a_: (mi(*a_), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gc, tile_n),
+                         lambda *a_: (a_[-1][mi(*a_)], 0, ni(*a_)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_m, tile_n), lambda *a_: (mi(*a_), ni(*a_)),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t_pad, n), out_dtype),
+        interpret=interpret,
+    )(tile_group_ids, xlo, xhi, packed3, a, xs, c)
+
+
+def _grouped_per_group_bp(
+    x_sorted, tile_group_ids, qt,
+    *, tile_m, tile_n, compute_dtype, out_dtype, interpret,
+):
+    gs = qt.group_size
+    e, n, k = qt.shape
+    k_half = k // 2
+    gh = k_half // gs
+    gc = _round_up(2 * gh, 128)
+    t_pad = x_sorted.shape[0]
+    cd_b = 4 if compute_dtype == jnp.float32 else 2
+    tn = tile_n or min(512, _round_up(n, 256))
+    if tile_n is None:
+        # VMEM budget (see _per_group_bp): x halves + w3 + q3/v3 casts +
+        # sequenced partials (x2 headroom) + small operands. tile_n floors
+        # at 256 — tile_n=128 triggers the pathological Mosaic compile
+        # documented in ops/int4_matmul.py.
+        budget = 14_000_000
+
+        def ws(tn_):
+            return (
+                tile_m * k * cd_b
+                + tn_ * k_half
+                + 2 * tn_ * k_half * cd_b
+                + 2 * gh * tile_m * tn_ * 4
+                + (2 * gh + gc) * tn_ * 4
+                + tile_m * (gc + tn_) * 4
+            )
+
+        while ws(tn) > budget and tn > 256:
+            tn = max(256, tn // 2 // 256 * 256)
+    n_pad = _round_up(n, tn)
+    packed3, scales, zps = qt.packed, qt.scales, qt.zero_points
+    if n_pad != n:
+        packed3 = jnp.pad(packed3, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+        scales = jnp.pad(scales, ((0, 0), (0, n_pad - n), (0, 0)))
+        zps = jnp.pad(zps, ((0, 0), (0, n_pad - n), (0, 0)))
+    x_bytes_per_nsweep = t_pad * k * x_sorted.dtype.itemsize
+    m_inner = x_bytes_per_nsweep * (n_pad // tn) <= qt.packed.size
+    out = _grouped_pg_bp_padded(
+        x_sorted, tile_group_ids.astype(jnp.int32), packed3,
+        scales.astype(jnp.float32), zps.astype(jnp.float32),
+        tile_m=tile_m, tile_n=tn, group_size=gs,
+        compute_dtype=compute_dtype, out_dtype=out_dtype,
+        interpret=interpret, m_inner=m_inner,
+    )
+    return out[:, :n]
+
+
 def grouped_int4_matmul_per_group(
     x_sorted: jnp.ndarray,
     tile_group_ids: jnp.ndarray,
@@ -995,10 +1160,14 @@ def grouped_int4_matmul_per_group(
     """Grouped GEMM over per_group-quantized stacked expert weights.
 
     qt: [E, N, K] with per_group granularity (scales/zps [E, N, K/group]);
-    group_size must be a multiple of 128 dividing K/2.
+    group_size must be a multiple of 128 dividing K/2. layout
+    "planar_groups" runs the batched-partials kernel (per_row speed);
+    "planar" the older expansion-dot kernel.
     """
-    if qt.granularity != "per_group" or qt.layout != "planar":
-        raise ValueError("requires per_group + planar weights")
+    if qt.granularity != "per_group" or qt.layout not in (
+        "planar", "planar_groups"
+    ):
+        raise ValueError("requires per_group + planar/planar_groups weights")
     gs = qt.group_size
     e, n, k = qt.shape
     k_half = k // 2
@@ -1017,6 +1186,12 @@ def grouped_int4_matmul_per_group(
         )
     if out_dtype is None:
         out_dtype = x_sorted.dtype
+    if qt.layout == "planar_groups":
+        return _grouped_per_group_bp(
+            x_sorted, tile_group_ids, qt, tile_m=tile_m, tile_n=tile_n,
+            compute_dtype=compute_dtype, out_dtype=out_dtype,
+            interpret=interpret,
+        )
 
     # same working-set cap as int4_matmul_per_group: ~4 [TN, K/2]
     # temporaries live at peak (sequenced halves); TN*K/2 too large makes

@@ -33,6 +33,12 @@ Implements the quantization spec of the reference library
     concatenation along the lane dimension instead of an even/odd interleave,
     which is what the TPU Pallas kernel wants (interleaving across lanes is
     expensive on the VPU; concatenation is free at the block level).
+  - ``planar``: whole-row planar with the XOR-8 high nibble (see
+    :func:`pack_planar`) — the per-row fused kernels' layout.
+  - ``planar_groups``: planar bytes reordered group-major
+    ``[..., Gh, N, group_size]`` (see :func:`planar_to_planar_groups`) —
+    the per-group batched-partials kernel's layout (group axis must lead
+    for Mosaic's batched dot_general).
 
 All functions are shape-polymorphic over leading batch dims of the weight
 (e.g. stacked expert weights ``[E, N, K]``) — reductions/packing always act on
@@ -62,12 +68,14 @@ __all__ = [
     "unpack_planar",
     "interleaved_to_planar",
     "interleaved_to_block_planar",
+    "planar_to_planar_groups",
+    "planar_groups_to_planar",
     "choose_block_k",
     "DEFAULT_BLOCK_K",
 ]
 
 Granularity = Literal["per_row", "per_tensor", "per_group"]
-Layout = Literal["interleaved", "block_planar", "planar"]
+Layout = Literal["interleaved", "block_planar", "planar", "planar_groups"]
 
 # Canonical kernel k-tile. Both the packer and the Pallas kernel agree on this
 # blocking so a packed k-tile unpacks to a *contiguous* range of input columns.
@@ -203,6 +211,32 @@ def interleaved_to_planar(packed: jnp.ndarray) -> jnp.ndarray:
     return pack_planar(unpack_interleaved(packed))
 
 
+def planar_to_planar_groups(packed: jnp.ndarray, group_size: int) -> jnp.ndarray:
+    """Reorder planar bytes group-major: [..., N, K/2] -> [..., Gh, N, gs].
+
+    The per-group batched-partials kernel (`ops.int4_matmul`,
+    layout="planar_groups") runs one MXU dot per quantization group with the
+    group index as a dot_general BATCH dim — and Mosaic requires batch dims
+    at position 0 of the operand, so the group axis must be outermost in the
+    stored bytes (a per-call transpose would re-stream the whole weight).
+    Same bytes as planar, one-time reorder at pack time. Each byte still
+    holds (lo-half column c, XOR-8 hi-half column c + K/2): group g of the
+    LO half and group g of the HI half share slab [g] along the leading axis.
+    """
+    *lead, n, k_half = packed.shape
+    if k_half % group_size != 0:
+        raise ValueError(f"K/2={k_half} not divisible by group_size={group_size}")
+    gh = k_half // group_size
+    p3 = packed.reshape(*lead, n, gh, group_size)
+    return jnp.moveaxis(p3, -2, -3)
+
+
+def planar_groups_to_planar(packed3: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`planar_to_planar_groups`."""
+    *lead, gh, n, gs = packed3.shape
+    return jnp.moveaxis(packed3, -3, -2).reshape(*lead, n, gh * gs)
+
+
 # ---------------------------------------------------------------------------
 # QuantizedTensor pytree
 # ---------------------------------------------------------------------------
@@ -325,6 +359,16 @@ def quantize(
                 f"block_k={bk} and group_size={group_size} must nest"
             )
         packed = pack_block_planar(q, bk)
+    elif layout == "planar_groups":
+        if granularity != "per_group":
+            raise ValueError("planar_groups layout requires per_group granularity")
+        if (k // 2) % group_size != 0:
+            raise ValueError(
+                f"group_size={group_size} must divide K/2={k // 2} "
+                "(groups may not straddle the planar halves)"
+            )
+        bk = k
+        packed = planar_to_planar_groups(pack_planar(q), group_size)
     else:
         raise ValueError(f"unknown layout {layout!r}")
 
@@ -387,6 +431,8 @@ def _unpack(qt: QuantizedTensor) -> jnp.ndarray:
         return unpack_interleaved(qt.packed)
     if qt.layout == "planar":
         return unpack_planar(qt.packed)
+    if qt.layout == "planar_groups":
+        return unpack_planar(planar_groups_to_planar(qt.packed))
     return unpack_block_planar(qt.packed, qt.block_k)
 
 

@@ -391,10 +391,42 @@ class TestGroupedPerGroup:
                           precision=jax.lax.Precision.HIGHEST).reshape(plan.t_pad, -1)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
 
+    def test_grouped_per_group_bp_matches_golden(self, rng):
+        """Batched-partials grouped kernel (layout="planar_groups"): same
+        contract as the expansion kernel above, per_row-speed structure.
+        Covers odd group count (gh=3) and the n-pad path (N=96 < 256)."""
+        from fused4bit_tpu.ops.grouped_matmul import grouped_int4_matmul_per_group
+
+        for E2, K2, N2 in [(4, 512, 96), (3, 768, 320)]:
+            w = randw(rng, E2, N2, K2)
+            qt = quantize(w, granularity="per_group", group_size=128,
+                          layout="planar_groups")
+            x = randw(rng, T, K2)
+            r = topk_route(randw(rng, T, E2), TOPK, E2)
+            plan = make_dispatch_plan(r, E2, tile_m=TILE_M)
+            xs = dispatch(x, r, plan)
+            got = grouped_int4_matmul_per_group(
+                xs, plan.tile_group_ids, qt, tile_m=TILE_M
+            )
+            wd = dequantize(qt, dtype=jnp.float32)
+            nt = plan.t_pad // TILE_M
+            xt = xs.reshape(nt, TILE_M, -1).astype(jnp.float32)
+            want = jnp.einsum(
+                "tmk,tnk->tmn", xt, wd[plan.tile_group_ids],
+                precision=jax.lax.Precision.HIGHEST,
+            ).reshape(plan.t_pad, -1)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=2e-3,
+                err_msg=str((E2, K2, N2)),
+            )
+
     def test_moe_module_dispatches_per_group(self, rng):
         E2, K2, N2 = 4, 512, 96
         w = randw(rng, E2, N2, K2)
         mod = MoEINT4.from_dense(w, granularity="per_group", group_size=128)
+        # from_dense now picks the batched-partials layout when constraints
+        # hold (group-major bytes, see MoEINT4.from_dense)
+        assert mod.weight.layout == "planar_groups"
         x = randw(rng, T, K2)
         r = topk_route(randw(rng, T, E2), TOPK, E2)
         plan = make_dispatch_plan(r, E2, tile_m=TILE_M)

@@ -122,6 +122,35 @@ class TestLayouts:
         b = dequantize(quantize(w, layout="block_planar"))
         assert jnp.array_equal(a, b)
 
+    def test_planar_groups_roundtrip_and_dequant(self, rng):
+        """planar_groups is a pure reorder of planar bytes: [Gh, N, gs]
+        round-trips to planar exactly, dequantizes identically, and works
+        over stacked expert dims."""
+        from fused4bit_tpu.quant.core import (
+            planar_groups_to_planar,
+            planar_to_planar_groups,
+        )
+
+        for shape in [(16, 512), (3, 16, 512)]:  # incl. expert-stacked
+            w = randw(rng, *shape)
+            qp = quantize(w, granularity="per_group", group_size=128,
+                          layout="planar")
+            qg = quantize(w, granularity="per_group", group_size=128,
+                          layout="planar_groups")
+            assert qg.packed.shape == shape[:-2] + (2, shape[-2], 128)
+            assert jnp.array_equal(
+                planar_groups_to_planar(qg.packed), qp.packed
+            )
+            assert jnp.array_equal(
+                planar_to_planar_groups(qp.packed, 128), qg.packed
+            )
+            assert jnp.array_equal(dequantize(qp), dequantize(qg))
+
+    def test_planar_groups_requires_per_group(self, rng):
+        w = randw(rng, 8, 256)
+        with pytest.raises(ValueError):
+            quantize(w, granularity="per_row", layout="planar_groups")
+
     def test_choose_block_k(self):
         assert choose_block_k(4096) == 512
         assert choose_block_k(11008) == 256
