@@ -12,8 +12,11 @@ lax.scan decode loop on one chip.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-`value` = INT4 model ms/decode-step (batch 8); `vs_baseline` = bf16-twin
-latency / INT4 latency (reference target: >= 2x, BASELINE.md).
+`value` = INT4 model ms/decode-step (batch 8) on 2 layers of the exact
+Mixtral-8x7B layer geometry (8e, 4096->14336, top-2); `vs_baseline` =
+strong bf16-twin latency / INT4 latency (reference target: >= 2x,
+BASELINE.md). The smaller h=1024 scale is reported under "small_scale"
+(incl. the naive-gather parity row).
 
 Timing protocol notes (tunneled/virtualized chips): fresh token inputs per
 repeat — identical repeated requests can return anomalously fast — and
@@ -33,13 +36,17 @@ def main():
     from fused4bit_tpu.models.dense_baseline import dense_from_quantized
     from fused4bit_tpu.models.transformer import QuantizedTransformer
 
-    from fused4bit_tpu.models.transformer import as_xla_turbo
+    from fused4bit_tpu.models.transformer import as_u4_turbo, as_xla_turbo
 
-    cfg = flagship_model_config("small")  # 4L, h=1024, 8 experts, ffn=3584
-    model = QuantizedTransformer.init(jax.random.PRNGKey(0), cfg)
-    turbo = as_xla_turbo(model)       # int8-resident XLA mode (ops/int8_xla)
-    dense = dense_from_quantized(model)                     # naive gather MoE
-    strong = dense_from_quantized(model, moe_impl="dense_all")  # streamed MoE
+    # Headline scale: 2 layers of the EXACT reference flagship layer
+    # geometry (8e, 4096->14336, top-2) — the memory-bound regime INT4
+    # exists for (bf16 twin streams ~5.7 GB/step; INT4 ~0.6 GB; 4 layers
+    # OOM with both twins resident, models/config.py "layer2"). The
+    # smaller "small" scale (h=1024, ffn=3584) is measured alongside for
+    # continuity with earlier rounds; at that size decode is NOT
+    # weight-bound and the INT4-vs-strong gap honestly compresses to ~1x.
+    cfg = flagship_model_config("layer2")
+    cfg_s = flagship_model_config("small")
     b, steps = 8, 24
 
     def bench(m, caches):
@@ -106,12 +113,40 @@ def main():
         except Exception:
             return None
 
+    import gc
+
+    # --- headline scale (layer2): sequential construction keeps peak HBM
+    # at int4 + one bf16 twin (~6.3 GB of 15.75, + ~1.9 GB dequant
+    # transient while the twin materializes).
+    model = QuantizedTransformer.init(jax.random.PRNGKey(0), cfg)
     t_kernel = bench(model, model.init_cache(cfg, b, 256))
-    t_turbo = bench(turbo, turbo.init_cache(cfg, b, 256))
-    t_naive = bench(dense, dense.init_cache(cfg, b, 256))
-    t_strong = bench(strong, strong.init_cache(cfg, b, 256))
     d_kernel = bench_device(model, model.init_cache(cfg, b, 256))
+    u4 = as_u4_turbo(model)  # packed-u4 residency + w4a8 decode kernels
+    t_u4 = bench(u4, u4.init_cache(cfg, b, 256))
+    d_u4 = bench_device(u4, u4.init_cache(cfg, b, 256))
+    del u4
+    strong = dense_from_quantized(model, moe_impl="dense_all")
+    t_strong = bench(strong, strong.init_cache(cfg, b, 256))
     d_strong = bench_device(strong, strong.init_cache(cfg, b, 256))
+    del strong
+    gc.collect()
+    turbo = as_xla_turbo(model)       # int8-resident XLA mode (ops/int8_xla)
+    t_turbo = bench(turbo, turbo.init_cache(cfg, b, 256))
+    del turbo, model
+    gc.collect()
+
+    # --- small scale (continuity + the naive-gather reference-parity row;
+    # the gather twin's [T*k, ffn, H] buffers don't fit at layer2 scale).
+    model_s = QuantizedTransformer.init(jax.random.PRNGKey(1), cfg_s)
+    t_kernel_s = bench(model_s, model_s.init_cache(cfg_s, b, 256))
+    naive_s = dense_from_quantized(model_s)
+    t_naive_s = bench(naive_s, naive_s.init_cache(cfg_s, b, 256))
+    del naive_s
+    gc.collect()
+    strong_s = dense_from_quantized(model_s, moe_impl="dense_all")
+    t_strong_s = bench(strong_s, strong_s.init_cache(cfg_s, b, 256))
+    del strong_s, model_s
+    gc.collect()
 
     # The INT4 model's headline config is whichever int4 execution mode wins
     # on this platform (packed-u4 Pallas kernels vs int8-resident XLA —
@@ -119,32 +154,45 @@ def main():
     # MoE at decode (xla_turbo's capacity/drop layout applies only at prefill
     # sizes, models/transformer.py MoEBlock.__call__), so this min() compares
     # identical semantics. vs_baseline is the STRONG dense twin (each
-    # expert's weights streamed exactly once per step); vs_naive_dense
-    # mirrors the reference's naive-FP16 comparison philosophy
-    # (README.md:24-34) and is reported alongside for parity.
-    t_int4 = min(t_kernel, t_turbo)
+    # expert's weights streamed exactly once per step — real dense_all since
+    # the moe_impl plumbing fix; earlier rounds' "strong" silently measured
+    # the gather impl); vs_naive_dense_small mirrors the reference's
+    # naive-FP16 comparison philosophy (README.md:24-34) at the small scale
+    # where the gather twin fits.
+    t_int4 = min(t_kernel, t_u4, t_turbo)
+    d_int4 = min(x for x in (d_kernel, d_u4) if x is not None) \
+        if (d_kernel or d_u4) else None
     print(json.dumps({
-        "metric": "int4_model_decode_ms_per_step_mixtral_small_b8",
+        "metric": "int4_model_decode_ms_per_step_mixtral_layer_geometry_2L_b8",
         "value": round(t_int4 * 1e3, 3),
         "unit": "ms",
         "vs_baseline": round(t_strong / t_int4, 3),
         "vs_strong_dense": round(t_strong / t_int4, 3),
-        "vs_naive_dense": round(t_naive / t_int4, 3),
         "int4_kernel_ms": round(t_kernel * 1e3, 3),
+        "int4_u4_turbo_ms": round(t_u4 * 1e3, 3),
         "int4_xla_turbo_ms": round(t_turbo * 1e3, 3),
         "bf16_strong_ms": round(t_strong * 1e3, 3),
-        "bf16_naive_ms": round(t_naive * 1e3, 3),
+        "small_scale": {
+            "int4_kernel_ms": round(t_kernel_s * 1e3, 3),
+            "bf16_strong_ms": round(t_strong_s * 1e3, 3),
+            "bf16_naive_ms": round(t_naive_s * 1e3, 3),
+            "vs_strong_dense": round(t_strong_s / t_kernel_s, 3),
+            "vs_naive_dense": round(t_naive_s / t_kernel_s, 3),
+        },
         # device-trace per-step ms (exact on-device time inside the scan;
         # the wall numbers above include the platform's per-dispatch cost)
         "int4_kernel_device_ms": (
             round(d_kernel, 3) if d_kernel is not None else None
         ),
+        "int4_u4_turbo_device_ms": (
+            round(d_u4, 3) if d_u4 is not None else None
+        ),
         "bf16_strong_device_ms": (
             round(d_strong, 3) if d_strong is not None else None
         ),
         "vs_strong_dense_device": (
-            round(d_strong / d_kernel, 3)
-            if d_kernel and d_strong else None
+            round(d_strong / d_int4, 3)
+            if d_int4 and d_strong else None
         ),
         # provenance: CPU numbers (chip outage fallback) are interpret-mode
         # and NOT comparable to TPU runs

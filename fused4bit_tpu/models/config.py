@@ -181,6 +181,26 @@ def flagship_model_config(scale: str = "tiny") -> ModelConfig:
             vocab_size=8192,
             max_seq_len=1024,
         )
+    if scale == "layer2":
+        # 2 layers of the EXACT Mixtral-8x7B layer geometry (the reference's
+        # flagship: 8 experts, 4096->14336, top-2 — README.md:24-34). The
+        # full 32-layer model's INT4 experts (23.5 GB) exceed one chip, and
+        # even 4 true-geometry layers OOM once the bf16 twin exists beside
+        # the INT4 model (the twin's 3 expert stacks are 2.8 GB per layer:
+        # 11.3 GB at 4 layers + 1.9 GB dequant transient > 15.75 GB HBM).
+        # Two layers (~0.6 GB INT4, ~5.7 GB bf16 twin) keep model-level
+        # decode in the memory-bound regime the framework targets with both
+        # twins resident. vocab kept small so embed/lm_head don't dominate.
+        return ModelConfig(
+            name="mixtral-layer2-int4",
+            moe=MoEConfig("mixtral-layer2", 8, 4096, 14336, 2),
+            num_layers=2,
+            num_heads=32,
+            num_kv_heads=8,
+            head_dim=128,
+            vocab_size=8192,
+            max_seq_len=1024,
+        )
     return ModelConfig(
         name="mixtral-tiny-int4",
         moe=DEBUG_TINY,
