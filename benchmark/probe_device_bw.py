@@ -437,6 +437,30 @@ def main():
                     continue
                 log(direction, f"pg128bp_tn{tn}", mod, op, wbytes_pg)
 
+        if want("pg128bp8"):
+            # w4a8 batched-partials per-group kernel
+            from fused4bit_tpu.quant.core import pad_rows
+            from fused4bit_tpu.ops.int4_matmul import int4_matmul_per_group_a8
+
+            qbp = build(k, n, pg="bp", seed=3)
+            wbytes_pg = n * k // 2 + 8 * n * (k // 128)
+            for tn in (256, 512):
+                if 4 * tn * (k // 2) > 14_000_000:
+                    continue
+                qp = [pad_rows(q, tn) for q in qbp]
+                f = chain_fn(int4_matmul_per_group_a8, qp[0], k, tile_n=tn)
+                try:
+                    mod, op = measure(
+                        lambda: np.asarray(f(x, *flatten(qp))),
+                        "_int4_group_bp_a8", traces=args.traces)
+                except Exception as err:
+                    results.setdefault(direction, {})[f"pg128bp8_tn{tn}"] = {
+                        "error": str(err)[:200]}
+                    print(f"{direction} pg128bp8_tn{tn} FAILED "
+                          f"{str(err)[:100]}", flush=True)
+                    continue
+                log(direction, f"pg128bp8_tn{tn}", mod, op, wbytes_pg)
+
     with open(args.out, "w") as f:
         json.dump(doc, f, indent=1)
     print(f"wrote {args.out}")

@@ -173,6 +173,12 @@ def implementations(env, tile_m, which):
     # round-5 batched-partials per-group kernel (layout="planar_groups")
     reg("pg128bp", lambda xs, q: grouped_int4_matmul_per_group(
         xs, gids, q, tile_m=tile_m), (env["qt_pgb"],))
+    if tile_m % 32 == 0:
+        from fused4bit_tpu.ops.grouped_matmul import (
+            grouped_int4_matmul_per_group_a8,
+        )
+        reg("pg128bp8", lambda xs, q: grouped_int4_matmul_per_group_a8(
+            xs, gids, q, tile_m=tile_m), (env["qt_pgb"],))
     reg("int4-dequant", int4_dequant, (qt,))
     reg("bf16-bmm", lambda xs, w: jnp.einsum(
         "eck,enk->ecn", xs[: E * cap].reshape(E, cap, K), w
@@ -298,7 +304,7 @@ def main(argv=None):
             cell_key = f"T{t}_{dist}"
             cell = results.setdefault(cell_key, {})
             extra = ["int4-xres", "int4-minner", "int4-ninner",
-                     "int4-ksplit", "pg128", "pg128bp"]
+                     "int4-ksplit", "pg128", "pg128bp", "pg128bp8"]
             which = args.impls or (
                 core + extra if (t in modes_at and dist == "uniform") else core
             )

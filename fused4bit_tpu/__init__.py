@@ -31,6 +31,7 @@ from .ops.int4_matmul import (  # noqa: F401
     int4_matmul,
     int4_matmul_a8,
     int4_matmul_per_group,
+    int4_matmul_per_group_a8,
     quantized_linear,
 )
 from .ops.decode_attention import int4_decode_attention  # noqa: F401
@@ -65,6 +66,7 @@ __all__ = [
     "int4_matmul",
     "int4_matmul_a8",
     "int4_matmul_per_group",
+    "int4_matmul_per_group_a8",
     "int4_decode_attention",
     "quantized_linear",
     "grouped_int4_matmul",

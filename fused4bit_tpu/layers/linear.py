@@ -236,6 +236,15 @@ class QuantizedLinear:
             y = int4_matmul(x, w)
         elif (
             self.use_kernel
+            and activation == "int8"
+            and w.layout == "planar_groups"
+            and w.granularity == "per_group"
+        ):
+            from ..ops.int4_matmul import int4_matmul_per_group_a8
+
+            y = int4_matmul_per_group_a8(x, w)
+        elif (
+            self.use_kernel
             and w.layout in ("planar", "planar_groups")
             and w.granularity == "per_group"
             and w.group_size % 128 == 0

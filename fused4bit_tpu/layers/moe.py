@@ -326,6 +326,17 @@ class MoEINT4:
             return grouped_int4_matmul(x_sorted, tile_group_ids, self.weight, **kw)
         if (
             self.use_kernel
+            and self.activation == "int8"
+            and self.weight.granularity == "per_group"
+            and self.weight.layout == "planar_groups"
+        ):
+            from ..ops.grouped_matmul import grouped_int4_matmul_per_group_a8
+
+            return grouped_int4_matmul_per_group_a8(
+                x_sorted, tile_group_ids, self.weight, **kw
+            )
+        if (
+            self.use_kernel
             and self.weight.granularity == "per_group"
             and self.weight.group_size % 128 == 0
             and (self.weight.in_dim // 2) % self.weight.group_size == 0

@@ -37,7 +37,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..quant.core import QuantizedTensor
 
-__all__ = ["grouped_int4_matmul", "grouped_int4_matmul_a8", "grouped_int4_matmul_per_group"]
+__all__ = ["grouped_int4_matmul", "grouped_int4_matmul_a8",
+           "grouped_int4_matmul_per_group", "grouped_int4_matmul_per_group_a8"]
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -1095,6 +1096,173 @@ def _grouped_pg_bp_padded(
         out_shape=jax.ShapeDtypeStruct((t_pad, n), out_dtype),
         interpret=interpret,
     )(tile_group_ids, xlo, xhi, packed3, a, xs, c)
+
+
+def _grouped_pg_bp_a8_kernel(
+    gid_ref,      # [num_tiles] i32 (scalar prefetch)
+    xlo_ref,      # [Gh, TM, gs] i8 quantized x, lo half
+    xhi_ref,      # [Gh, TM, gs] i8
+    w3_ref,       # [1, Gh, TN, gs] u8 planar_groups bytes (this expert)
+    a_ref,        # [1, 2*Gh, TN] f32
+    xs_ref,       # [TM, Gc] f32 per-group column sums of xq
+    c_ref,        # [1, Gc, TN] f32
+    sx_ref,       # [TM, 1] f32 activation scales
+    o_ref,        # [TM, TN]
+):
+    # w4a8 variant of _grouped_pg_bp_kernel: int8 batched dots -> exact
+    # int32 partials (< 2^24, exact in f32), f32 scale-combine, per-row
+    # activation scale last (see ops/int4_matmul._int4_group_bp_a8_kernel).
+    gh = w3_ref.shape[1]
+    p3 = w3_ref[0]
+    a = a_ref[0]
+    dims = (((2,), (2,)), ((0,), (0,)))
+    acc = jax.lax.dot_general(
+        xs_ref[...], c_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    q3 = (p3 & 0x0F).astype(jnp.int8)
+    p_lo = jax.lax.dot_general(
+        xlo_ref[...], q3, dims, preferred_element_type=jnp.int32,
+    )
+    acc += (a[0:gh][:, None, :] * p_lo.astype(jnp.float32)).sum(0)
+    v3 = pltpu.bitcast(p3 & 0xF0, jnp.int8)
+    p_hi = jax.lax.dot_general(
+        xhi_ref[...], v3, dims, preferred_element_type=jnp.int32,
+    )
+    acc += (a[gh : 2 * gh][:, None, :] * p_hi.astype(jnp.float32)).sum(0)
+    o_ref[:] = (acc * sx_ref[...]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "tile_m", "tile_n", "group_size", "out_dtype", "interpret", "m_inner",
+    ),
+)
+def _grouped_pg_bp_a8_padded(
+    x_sorted, tile_group_ids, packed3, scales, zps,
+    *, tile_m, tile_n, group_size, out_dtype, interpret, m_inner,
+):
+    from .int4_matmul import _bp_scale_operands
+
+    t_pad, k = x_sorted.shape
+    e, gh, n, gs = packed3.shape
+    k_half = gh * gs
+    a, c = _bp_scale_operands(scales, zps, gh)
+    gc = c.shape[-2]
+    xf = x_sorted.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    xs = jnp.zeros((t_pad, gc), jnp.float32)
+    xs = xs.at[:, : 2 * gh].set(
+        xq.astype(jnp.int32).reshape(t_pad, 2 * gh, gs).sum(-1)
+        .astype(jnp.float32)
+    )
+    xlo = jnp.moveaxis(xq[:, :k_half].reshape(t_pad, gh, gs), 1, 0)
+    xhi = jnp.moveaxis(xq[:, k_half:].reshape(t_pad, gh, gs), 1, 0)
+    num_tiles = t_pad // tile_m
+    if m_inner:
+        grid = (n // tile_n, num_tiles)
+        mi = lambda j, i, g: i  # noqa: E731
+        ni = lambda j, i, g: j  # noqa: E731
+    else:
+        grid = (num_tiles, n // tile_n)
+        mi = lambda i, j, g: i  # noqa: E731
+        ni = lambda i, j, g: j  # noqa: E731
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((gh, tile_m, gs), lambda *a_: (0, mi(*a_), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gh, tile_m, gs), lambda *a_: (0, mi(*a_), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gh, tile_n, gs),
+                         lambda *a_: (a_[-1][mi(*a_)], 0, ni(*a_), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * gh, tile_n),
+                         lambda *a_: (a_[-1][mi(*a_)], 0, ni(*a_)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, gc), lambda *a_: (mi(*a_), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gc, tile_n),
+                         lambda *a_: (a_[-1][mi(*a_)], 0, ni(*a_)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, 1), lambda *a_: (mi(*a_), 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_m, tile_n), lambda *a_: (mi(*a_), ni(*a_)),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        _grouped_pg_bp_a8_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t_pad, n), out_dtype),
+        interpret=interpret,
+    )(tile_group_ids, xlo, xhi, packed3, a, xs, c, sx)
+
+
+def grouped_int4_matmul_per_group_a8(
+    x_sorted: jnp.ndarray,
+    tile_group_ids: jnp.ndarray,
+    qt: QuantizedTensor,
+    *,
+    tile_m: int = 64,
+    tile_n: Optional[int] = None,
+    out_dtype=None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """w4a8 grouped GEMM over per_group planar_groups expert weights
+    (batched partials on the integer MXU; int4_matmul_a8's activation
+    contract)."""
+    if qt.granularity != "per_group" or qt.layout != "planar_groups":
+        raise ValueError("requires per_group + planar_groups weights")
+    gs = qt.group_size
+    e, n, k = qt.shape
+    k_half = k // 2
+    gh = k_half // gs
+    t_pad = x_sorted.shape[0]
+    if t_pad % tile_m != 0:
+        raise ValueError(f"T_pad={t_pad} not a multiple of tile_m={tile_m}")
+    if tile_m % 32 != 0:
+        raise ValueError(f"tile_m={tile_m} must be a multiple of 32 (i8 tile)")
+    if interpret is None:
+        interpret = not _on_tpu()
+    if out_dtype is None:
+        out_dtype = x_sorted.dtype
+    gc = _round_up(2 * gh, 128)
+    tn = tile_n or min(512, _round_up(n, 256))
+    if tile_n is None:
+        budget = 14_000_000
+
+        def ws(tn_):
+            return (
+                tile_m * k + tn_ * k_half + 2 * tn_ * k_half
+                + 2 * gh * tile_m * tn_ * 4
+                + (2 * gh + gc) * tn_ * 4 + tile_m * (gc + tn_ + 1) * 4
+            )
+
+        while ws(tn) > budget and tn > 256:
+            tn = max(256, tn // 2 // 256 * 256)
+    n_pad = _round_up(n, tn)
+    packed3, scales, zps = qt.packed, qt.scales, qt.zero_points
+    if n_pad != n:
+        packed3 = jnp.pad(packed3, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+        scales = jnp.pad(scales, ((0, 0), (0, n_pad - n), (0, 0)))
+        zps = jnp.pad(zps, ((0, 0), (0, n_pad - n), (0, 0)))
+    x_bytes_per_nsweep = t_pad * k  # int8 rows
+    m_inner = x_bytes_per_nsweep * (n_pad // tn) <= qt.packed.size
+    out = _grouped_pg_bp_a8_padded(
+        x_sorted, tile_group_ids.astype(jnp.int32), packed3,
+        scales.astype(jnp.float32), zps.astype(jnp.float32),
+        tile_m=tile_m, tile_n=tn, group_size=gs,
+        out_dtype=out_dtype, interpret=interpret, m_inner=m_inner,
+    )
+    return out[:, :n]
 
 
 def _grouped_per_group_bp(

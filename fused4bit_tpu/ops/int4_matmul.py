@@ -747,6 +747,171 @@ def _per_group_bp(x, qt, *, tile_n, compute_dtype, out_dtype, interpret):
     return out[:m, :n].reshape(*lead, n)
 
 
+# --- per_group w4a8: batched partials on the integer MXU ------------------
+#
+# Same structure as _int4_group_bp_kernel with the w4a8 contract of
+# int4_matmul_a8 (dynamic per-row symmetric int8 activations): int8 x int8
+# batched dots produce EXACT int32 partials (|P| <= 127*15*gs and
+# 127*128*gs for the vhi half — both < 2^24, so the int32->f32 cast is
+# exact), group scales and the zero-point fold apply in f32, and the
+# per-row activation scale multiplies the final accumulator. Numerics ==
+# "quantize activations to int8, dequantize weights, matmul exactly".
+
+
+def _int4_group_bp_a8_kernel(
+    xlo_ref,      # [Gh, TM, gs] i8 quantized x, lo half
+    xhi_ref,      # [Gh, TM, gs] i8 quantized x, hi half
+    w3_ref,       # [Gh, TN, gs] u8 planar_groups bytes
+    a_ref,        # [2*Gh, TN] f32 P multipliers (s_lo; s_hi/16)
+    xs_ref,       # [TM, Gc] f32 per-group column sums of xq (exact ints)
+    c_ref,        # [Gc, TN] f32 zp/constant fold
+    sx_ref,       # [TM, 1] f32 activation scales
+    o_ref,        # [TM, TN]
+):
+    gh = w3_ref.shape[0]
+    p3 = w3_ref[...]
+    dims = (((2,), (2,)), ((0,), (0,)))
+    acc = jax.lax.dot_general(
+        xs_ref[...], c_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    q3 = (p3 & 0x0F).astype(jnp.int8)
+    p_lo = jax.lax.dot_general(
+        xlo_ref[...], q3, dims, preferred_element_type=jnp.int32,
+    )
+    acc += (a_ref[0:gh][:, None, :] * p_lo.astype(jnp.float32)).sum(0)
+    v3 = pltpu.bitcast(p3 & 0xF0, jnp.int8)
+    p_hi = jax.lax.dot_general(
+        xhi_ref[...], v3, dims, preferred_element_type=jnp.int32,
+    )
+    acc += (a_ref[gh : 2 * gh][:, None, :] * p_hi.astype(jnp.float32)).sum(0)
+    o_ref[...] = (acc * sx_ref[...]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_m", "tile_n", "group_size", "out_dtype", "interpret"),
+)
+def _int4_group_bp_a8_padded(
+    x, packed3, scales, zps,
+    *, tile_m, tile_n, group_size, out_dtype, interpret,
+):
+    m, k = x.shape
+    gh, n, gs = packed3.shape
+    k_half = gh * gs
+    a, c = _bp_scale_operands(scales, zps, gh)
+    gc = c.shape[-2]
+    # per-row symmetric int8 activation quantization (int4_matmul_a8's
+    # contract), on the host op side like the grouped a8 kernel
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    xs = jnp.zeros((m, gc), jnp.float32)
+    xs = xs.at[:, : 2 * gh].set(
+        xq.astype(jnp.int32).reshape(m, 2 * gh, gs).sum(-1).astype(jnp.float32)
+    )
+    xlo = jnp.moveaxis(xq[:, :k_half].reshape(m, gh, gs), 1, 0)
+    xhi = jnp.moveaxis(xq[:, k_half:].reshape(m, gh, gs), 1, 0)
+    grid = (m // tile_m, n // tile_n)
+    return pl.pallas_call(
+        _int4_group_bp_a8_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((gh, tile_m, gs), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gh, tile_m, gs), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gh, tile_n, gs), lambda i, j: (0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * gh, tile_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, gc), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gc, tile_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_m, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(xlo, xhi, packed3, a, xs, c, sx)
+
+
+def int4_matmul_per_group_a8(
+    x: jnp.ndarray,
+    qt: QuantizedTensor,
+    *,
+    tile_n: Optional[int] = None,
+    out_dtype=None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """w4a8 fused linear for per_group planar_groups weights (batched
+    partials on the integer MXU; ~0.5-1% extra activation-quantization
+    error for the leaner int8 pipeline, same trade as int4_matmul_a8)."""
+    if qt.granularity != "per_group" or qt.layout != "planar_groups":
+        raise ValueError("requires per_group + planar_groups weights")
+    gs = qt.group_size
+    n, k = qt.out_dim, qt.in_dim
+    k_half = k // 2
+    gh = k_half // gs
+    if x.shape[-1] != k:
+        raise ValueError(f"x K={x.shape[-1]} != {k}")
+    if interpret is None:
+        interpret = not _on_tpu()
+    if out_dtype is None:
+        out_dtype = x.dtype
+    lead = x.shape[:-1]
+    m = 1
+    for d in lead:
+        m *= d
+    x2 = x.reshape(m, k)
+    m_pad = max(_round_up(m, 32), 32)  # int8 sublane tile
+    tile_m = m_pad if m_pad <= 128 else 128
+    gc = _round_up(2 * gh, 128)
+    tn = tile_n or min(512, _round_up(n, 256))
+    if tile_n is None:
+        # VMEM budget; int8 x halves are half the bf16 size. tile_n floors
+        # at 256 (Mosaic compile pathology at 128, see the bp comment).
+        budget = 14_000_000
+
+        def ws(tm, tn_):
+            return (
+                tm * k                      # xlo+xhi (i8)
+                + tn_ * k_half              # w3 block (u8)
+                + 2 * tn_ * k_half          # q3/v3 (i8)
+                + 2 * gh * tm * tn_ * 4     # partials (i32, sequenced; x2)
+                + (2 * gh + gc) * tn_ * 4
+                + tm * (gc + tn_ + 1) * 4
+            )
+
+        while ws(tile_m, tn) > budget and tn > 256:
+            tn = max(256, tn // 2 // 256 * 256)
+        while ws(tile_m, tn) > budget and tile_m >= 64:
+            tile_m = max(32, _round_up(tile_m // 2, 32))
+    m_pad = _round_up(m_pad, tile_m)
+    n_pad = _round_up(n, tn)
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+    packed3, scales, zps = qt.packed, qt.scales, qt.zero_points
+    if n_pad != n:
+        packed3 = jnp.pad(packed3, ((0, 0), (0, n_pad - n), (0, 0)))
+        scales = jnp.pad(scales, ((0, n_pad - n), (0, 0)))
+        zps = jnp.pad(zps, ((0, n_pad - n), (0, 0)))
+    out = _int4_group_bp_a8_padded(
+        x2, packed3, scales.astype(jnp.float32), zps.astype(jnp.float32),
+        tile_m=tile_m, tile_n=tn, group_size=gs,
+        out_dtype=out_dtype, interpret=interpret,
+    )
+    return out[:m, :n].reshape(*lead, n)
+
+
 def int4_matmul_per_group(
     x: jnp.ndarray,
     qt: QuantizedTensor,

@@ -5,6 +5,8 @@ tolerance ladder: atol 1e-3 for small/batched shapes, 1e-2 for large shapes
 (f32 accumulation-order differences). On CPU the Pallas kernel runs in
 interpreter mode; on TPU the same tests exercise the compiled kernel.
 """
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -354,6 +356,34 @@ class TestInt4MatmulPerGroupBP:
             np.asarray(reference_linear_qt(x, layer.weight)),
             atol=1e-3,
         )
+
+    def test_a8_variant_matches_reference_within_activation_error(self, rng):
+        """w4a8 batched-partials per-group kernel: exact int32 partials,
+        so the only deviation from the f32 golden is the int8 activation
+        quantization (~1% rel, the int4_matmul_a8 contract)."""
+        from fused4bit_tpu.ops.int4_matmul import int4_matmul_per_group_a8
+
+        for n, k, m in [(256, 512, 8), (96, 768, 33)]:  # odd gh + m-pad
+            w = randw(rng, n, k)
+            qt = quantize(w, granularity="per_group", group_size=128,
+                          layout="planar_groups")
+            x = randw(rng, m, k)
+            got = np.asarray(int4_matmul_per_group_a8(x, qt))
+            want = np.asarray(reference_linear_qt(x, qt))
+            rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+            assert rel < 0.015, (n, k, m, rel)
+
+    def test_a8_via_layer_activation_int8(self, rng):
+        w = randw(rng, 128, 512)
+        layer = QuantizedLinear.from_dense(
+            w, granularity="per_group", group_size=128
+        )
+        layer = dataclasses.replace(layer, activation="int8")
+        x = randw(rng, 4, 512)
+        got = np.asarray(layer(x))
+        want = np.asarray(reference_linear_qt(x, layer.weight))
+        rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+        assert rel < 0.015
 
     def test_padded_rows_layer(self, rng):
         """pad_rows on the rank-3 planar_groups layout pads the N (middle)

@@ -420,6 +420,43 @@ class TestGroupedPerGroup:
                 err_msg=str((E2, K2, N2)),
             )
 
+    def test_grouped_per_group_bp_a8_matches_golden(self, rng):
+        """w4a8 grouped batched-partials kernel: int32 partials exact, only
+        the int8 activation quantization separates it from the golden."""
+        import dataclasses as _dc
+        from fused4bit_tpu.ops.grouped_matmul import (
+            grouped_int4_matmul_per_group_a8,
+        )
+
+        E2, K2, N2 = 4, 512, 96
+        w = randw(rng, E2, N2, K2)
+        qt = quantize(w, granularity="per_group", group_size=128,
+                      layout="planar_groups")
+        x = randw(rng, T, K2)
+        r = topk_route(randw(rng, T, E2), TOPK, E2)
+        plan = make_dispatch_plan(r, E2, tile_m=32)
+        xs = dispatch(x, r, plan)
+        got = np.asarray(grouped_int4_matmul_per_group_a8(
+            xs, plan.tile_group_ids, qt, tile_m=32
+        ))
+        wd = dequantize(qt, dtype=jnp.float32)
+        nt = plan.t_pad // 32
+        xt = xs.reshape(nt, 32, -1).astype(jnp.float32)
+        want = np.asarray(jnp.einsum(
+            "tmk,tnk->tmn", xt, wd[plan.tile_group_ids],
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(plan.t_pad, -1))
+        denom = np.linalg.norm(want)
+        assert denom > 0
+        assert np.linalg.norm(got - want) / denom < 0.015
+        # module dispatch with activation="int8"
+        mod = _dc.replace(
+            MoEINT4.from_dense(w, granularity="per_group", group_size=128),
+            activation="int8",
+        )
+        got2 = np.asarray(mod(xs, plan.tile_group_ids, tile_m=32))
+        np.testing.assert_allclose(got2, got, atol=1e-5)
+
     def test_moe_module_dispatches_per_group(self, rng):
         E2, K2, N2 = 4, 512, 96
         w = randw(rng, E2, N2, K2)
