@@ -117,6 +117,10 @@ def main():
         # weights instead of per 128/256-wide rows
         ("int4_per_group64", dict(quantize_router=False,
                                   granularity="per_group", group_size=64)),
+        # gs=128: the quality-AND-speed point (the batched-partials kernels
+        # need group_size % 128 == 0; gs=64 runs the golden dequant path)
+        ("int4_per_group128", dict(quantize_router=False,
+                                   granularity="per_group", group_size=128)),
         ("int4_per_tensor", dict(quantize_router=False,
                                  granularity="per_tensor")),
         # activation-aware equalization (quant/equalize.py): calibration on

@@ -32,10 +32,13 @@ def main(argv=None):
     p.add_argument("--max-new", type=int, default=24)
     p.add_argument("--max-seq", type=int, default=128)
     p.add_argument("--mode", default="kernel",
-                   choices=["kernel", "turbo", "xla_turbo", "u4_turbo"],
+                   choices=["kernel", "turbo", "xla_turbo", "u4_turbo",
+                            "pg_turbo"],
                    help="kernel = packed-u4 Pallas; turbo = w4a8 kernels; "
                         "xla_turbo = int8-resident XLA (ops/int8_xla); "
-                        "u4_turbo = packed residency, transient-i8 prefill")
+                        "u4_turbo = packed residency, transient-i8 prefill; "
+                        "pg_turbo = per_group(128) weights on the w4a8 "
+                        "batched-partials kernels (production granularity)")
     p.add_argument("--decode-block", type=int, default=1,
                    help="decode steps fused into one compiled dispatch "
                         "(lax.scan in-graph; amortizes the ~3 ms/dispatch "
@@ -67,6 +70,9 @@ def main(argv=None):
     elif args.mode == "u4_turbo":
         from fused4bit_tpu.models.transformer import as_u4_turbo
         model = as_u4_turbo(model)
+    elif args.mode == "pg_turbo":
+        from fused4bit_tpu.models.transformer import as_per_group, as_turbo
+        model = as_turbo(as_per_group(model, group_size=128))
     spec_kw = {}
     if args.spec_draft:
         if args.spec_draft == "self":

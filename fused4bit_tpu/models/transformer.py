@@ -561,3 +561,60 @@ def as_turbo(model: "QuantizedTransformer") -> "QuantizedTransformer":
     return dataclasses.replace(
         model, blocks=tuple(blocks), lm_head=conv_linear(model.lm_head)
     )
+
+
+def as_per_group(
+    model: "QuantizedTransformer", group_size: int = 128
+) -> "QuantizedTransformer":
+    """Requantize every INT4 weight to per_group granularity.
+
+    per-group is the production INT4 granularity (best quality in the
+    trained-fixture ladder, `benchmark/results/quality_trained*.json`);
+    with group_size % 128 == 0 the weights pack group-major
+    (layout="planar_groups") and run the batched-partials kernels at
+    per-row speed — compose with :func:`as_turbo` for the w4a8 variants
+    (the fastest per-group path, `pg128bp8` in the artifacts).
+
+    Requantization goes through the already-quantized values (dequantize →
+    re-quantize), so this is for execution-mode experiments on synthetic
+    models and serving benchmarks; real conversions should quantize the
+    original checkpoint directly (`models.convert`, granularity=...).
+    """
+    from ..quant.core import dequantize as _dq, quantize as _q
+
+    def requant(w):
+        if w.granularity == "per_group" or (w.in_dim // 2) % group_size:
+            return None
+        return _q(
+            _dq(w, dtype=jnp.float32), granularity="per_group",
+            group_size=group_size,
+            layout="planar_groups" if group_size % 128 == 0 else "planar",
+        )
+
+    def conv_linear(l):
+        if not isinstance(l, QuantizedLinear):
+            return l
+        qt = requant(l.weight)
+        return l if qt is None else dataclasses.replace(l, weight=qt)
+
+    def conv_moe(m: MoEINT4) -> MoEINT4:
+        qt = requant(m.weight)
+        return m if qt is None else dataclasses.replace(m, weight=qt)
+
+    blocks = []
+    for blk in model.blocks:
+        attn = dataclasses.replace(
+            blk.attn,
+            wq=conv_linear(blk.attn.wq), wk=conv_linear(blk.attn.wk),
+            wv=conv_linear(blk.attn.wv), wo=conv_linear(blk.attn.wo),
+        )
+        moe = dataclasses.replace(
+            blk.moe,
+            w_gate=conv_moe(blk.moe.w_gate),
+            w_up=conv_moe(blk.moe.w_up),
+            w_down=conv_moe(blk.moe.w_down),
+        )
+        blocks.append(dataclasses.replace(blk, attn=attn, moe=moe))
+    return dataclasses.replace(
+        model, blocks=tuple(blocks), lm_head=conv_linear(model.lm_head)
+    )

@@ -215,6 +215,35 @@ class TestDenseTwin:
         dense = dense_from_quantized(m)
         assert dense.nbytes / m.nbytes > 2.0  # embed tables dilute the 4x
 
+    def test_as_per_group_requant_mode(self, model):
+        """as_per_group requantizes to per_group/planar_groups where the
+        constraints hold and the model still agrees with itself (only
+        requantization noise separates the two)."""
+        import dataclasses as _dc  # noqa: F401
+        from fused4bit_tpu.models.transformer import as_per_group, as_turbo
+
+        cfg, m = model
+        pg = as_per_group(m, group_size=128)
+        lay = {
+            b.attn.wq.weight.layout for b in pg.blocks
+            if (b.attn.wq.weight.in_dim // 2) % 128 == 0
+        }
+        assert lay <= {"planar_groups"}
+        b, t = 1, 4
+        toks = jnp.asarray(np.arange(t)[None] % cfg.vocab_size, jnp.int32)
+        lq, _ = m(toks, m.init_cache(cfg, b, 8), jnp.arange(t))
+        lp, _ = pg(toks, pg.init_cache(cfg, b, 8), jnp.arange(t))
+        a = np.asarray(lq, np.float32).ravel()
+        v = np.asarray(lp, np.float32).ravel()
+        cos = a @ v / (np.linalg.norm(a) * np.linalg.norm(v))
+        assert cos > 0.95
+        # composes with turbo (w4a8 batched-partials path)
+        pt = as_turbo(pg)
+        lt, _ = pt(toks, pt.init_cache(cfg, b, 8), jnp.arange(t))
+        w = np.asarray(lt, np.float32).ravel()
+        cos2 = v @ w / (np.linalg.norm(v) * np.linalg.norm(w))
+        assert cos2 > 0.95
+
     def test_moe_impl_is_plumbed_and_equivalent(self, model):
         """dense_from_quantized(moe_impl=...) must actually reach the blocks
         (regression: the arg was silently dropped, so every 'strong
