@@ -40,7 +40,24 @@ from ..layers.moe import (
     make_dispatch_plan,
     topk_route,
 )
-from ..ops.grouped_matmul import grouped_int4_matmul
+from ..ops.grouped_matmul import (
+    grouped_int4_matmul,
+    grouped_int4_matmul_per_group,
+)
+
+
+def _grouped_local(xs, gids, qt_loc, tile_m, interpret):
+    """Granularity-dispatching local grouped GEMM: per_row runs the fused
+    grouped kernel; per_group (the production granularity) runs the
+    batched-partials per-group kernel (planar_groups layout). EP strategies
+    are granularity-agnostic through this helper."""
+    if qt_loc.granularity == "per_group":
+        return grouped_int4_matmul_per_group(
+            xs, gids, qt_loc, tile_m=tile_m, interpret=interpret
+        )
+    return grouped_int4_matmul(
+        xs, gids, qt_loc, tile_m=tile_m, interpret=interpret
+    )
 from ..ops.int4_matmul import int4_matmul
 from ..quant.core import QuantizedTensor
 
@@ -85,9 +102,7 @@ def _local_contrib(xblk, eids, weights, lo, e_local, qt_loc, tile_m, interpret):
     rt = RoutingResult(local_ids, w, tpe, offsets)
     plan = make_dispatch_plan(rt, e_local, tile_m=tile_m)
     xs = dispatch(xblk, rt, plan)
-    y = grouped_int4_matmul(
-        xs, plan.tile_group_ids, qt_loc, tile_m=tile_m, interpret=interpret
-    )
+    y = _grouped_local(xs, plan.tile_group_ids, qt_loc, tile_m, interpret)
     return combine(y, rt, plan)  # [T_blk, N]
 
 
@@ -222,9 +237,7 @@ def moe_ep_a2a(
         plan = make_dispatch_plan(rt, e_local, tile_m=tile_m)
         xs = dispatch(jnp.where(valid[:, None], recv_x, 0.0), rt, plan)
         qt_loc = _qt_local(qt, packed, scales, zps, e_local)
-        y = grouped_int4_matmul(
-            xs, plan.tile_group_ids, qt_loc, tile_m=tile_m, interpret=interpret
-        )
+        y = _grouped_local(xs, plan.tile_group_ids, qt_loc, tile_m, interpret)
         y_rows = y[plan.rows]  # back to recv order [n_dev*cap, N]
         y_rows = jnp.where(valid[:, None], y_rows, 0.0)
 
@@ -392,9 +405,7 @@ def moe_ep_a2a_dropless(
         plan = make_dispatch_plan(rt, e_local, tile_m=tile_m)
         xs = dispatch(jnp.where(valid[:, None], recv_x, 0.0), rt, plan)
         qt_loc = _qt_local(qt, packed, scales, zps, e_local)
-        y = grouped_int4_matmul(
-            xs, plan.tile_group_ids, qt_loc, tile_m=tile_m, interpret=interpret
-        )
+        y = _grouped_local(xs, plan.tile_group_ids, qt_loc, tile_m, interpret)
         y_rows = y[plan.rows]                                  # recv order
 
         # return trip: my buffer is chunked by ORIGINAL sender (offsets =

@@ -144,6 +144,29 @@ class TestExpertParallel:
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(golden), atol=1e-3)
 
+    def test_ep_replicated_per_group_matches_golden(self, rng):
+        """EP with the PRODUCTION granularity: per_group planar_groups
+        expert weights (rank-4 packed [E, Gh, N, gs]) shard over the
+        expert axis (PartitionSpec shorter than rank: trailing dims
+        replicated) and the strategies dispatch to the batched-partials
+        grouped kernel via _grouped_local."""
+        E2, K2 = self.E, 512  # k_half=256, gs=128 -> gh=2
+        w = randw(rng, E2, self.N, K2)
+        qt = quantize(w, granularity="per_group", group_size=128,
+                      layout="planar_groups")
+        x = randw(rng, self.T, K2)
+        logits = randw(rng, self.T, E2)
+        routing = topk_route(logits, self.TOPK, E2)
+        golden = QuantizedMoE(weight=qt)(x, routing)
+        mesh = make_mesh(("expert",), (8,))
+        qts = shard_qt_experts(qt, mesh, "expert")
+        got = moe_ep_replicated(
+            x, logits, qts, mesh, top_k=self.TOPK, tile_m=8, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(golden), atol=2e-3
+        )
+
     def test_ep_a2a_matches_golden_with_ample_capacity(self, rng):
         qt, x, logits, golden = self._setup(rng)
         mesh = make_mesh(("expert",), (8,))
