@@ -24,8 +24,21 @@ still leave evidence.
 Usage:
   python benchmark/run_mixtral_artifact.py --tokens 8 32 128 2048 \
       --dists uniform skewed --iters 8
+
+The sweep generalizes to every geometry in the config registry
+(`--config deepseek` = 64e 4096->11008 top-8, etc.). At the 64-expert
+geometries run it in two passes so the resident weight sets leave HBM
+headroom for the kernels (cells resume/merge into one artifact):
+
+  python benchmark/run_mixtral_artifact.py --config deepseek \
+      --device-trace --tokens 8 64 1024 --dists uniform \
+      --impls int4 w4a8 pg128bp8
+  python benchmark/run_mixtral_artifact.py --config deepseek \
+      --device-trace --tokens 8 64 1024 --dists uniform --no-verify \
+      --impls bf16-bmm bf16-naive
 """
 import argparse
+import functools
 import json
 import os
 import sys
@@ -92,24 +105,59 @@ _WEIGHTS = {}
 
 def build_weights(seed=0):
     """Quantize once per process — weights are generated ON DEVICE (a host
-    transfer of the 1.9 GB f32 tensor through the tunnel takes minutes)."""
+    transfer of the 1.9 GB f32 tensor through the tunnel takes minutes).
+
+    Generation is CHUNKED over experts: quantizing all of a 64-expert
+    geometry (DeepSeek/Qwen: f32 [64, 11008, 4096] = 11.5 GB) in one jit
+    peaks at ~35 GB of HBM transients; 8-expert chunks keep the peak at
+    the bf16 copy + one chunk's f32 (~1.5 GB)."""
+    # Only build the weight sets the requested impls need: at the 64-expert
+    # geometries every set is 1.4-5.8 GB resident and building all four
+    # leaves no headroom for the kernels themselves.
+    need = _WEIGHTS.pop("_need", {"qt", "qt_pg", "qt_pgb", "wb"})
     if _WEIGHTS:
         return _WEIGHTS
 
-    @jax.jit
-    def make(key):
-        w = jax.random.normal(key, (E, N, K), jnp.float32) * 0.02
-        return (
-            quantize(w, layout="planar"),
-            quantize(w, layout="planar", granularity="per_group",
-                     group_size=128),
-            quantize(w, layout="planar_groups", granularity="per_group",
-                     group_size=128),
-            w.astype(jnp.bfloat16),
+    chunk = max(1, min(E, 8))
+
+    @functools.partial(jax.jit, static_argnames=("ec",))
+    def make(key, ec):
+        w = jax.random.normal(key, (ec, N, K), jnp.float32) * 0.02
+        out = {}
+        if "qt" in need:
+            out["qt"] = quantize(w, layout="planar")
+        if "qt_pg" in need:
+            out["qt_pg"] = quantize(w, layout="planar",
+                                    granularity="per_group", group_size=128)
+        if "qt_pgb" in need:
+            out["qt_pgb"] = quantize(w, layout="planar_groups",
+                                     granularity="per_group", group_size=128)
+        if "wb" in need:
+            out["wb"] = w.astype(jnp.bfloat16)
+        return out
+
+    parts = []
+    key = jax.random.PRNGKey(seed)
+    for e0 in range(0, E, chunk):
+        key, k1 = jax.random.split(key)
+        parts.append(jax.block_until_ready(make(k1, min(chunk, E - e0))))
+    import dataclasses as _dc
+
+    def cat_qt(qts):
+        first = qts[0]
+        return _dc.replace(
+            first,
+            packed=jnp.concatenate([q.packed for q in qts], 0),
+            scales=jnp.concatenate([q.scales for q in qts], 0),
+            zero_points=jnp.concatenate([q.zero_points for q in qts], 0),
+            shape=(E,) + tuple(first.shape[1:]),
         )
 
-    qt, qt_pg, qt_pgb, wb = jax.block_until_ready(make(jax.random.PRNGKey(seed)))
-    _WEIGHTS.update(qt=qt, qt_pg=qt_pg, qt_pgb=qt_pgb, wb=wb)
+    for name in ("qt", "qt_pg", "qt_pgb"):
+        if name in need:
+            _WEIGHTS[name] = cat_qt([p[name] for p in parts])
+    if "wb" in need:
+        _WEIGHTS["wb"] = jnp.concatenate([p["wb"] for p in parts], 0)
     return _WEIGHTS
 
 
@@ -139,7 +187,8 @@ def implementations(env, tile_m, which):
     upload taking minutes.
     """
     qt, qt_pg, wb, plan, cap = (
-        env["qt"], env["qt_pg"], env["wb"], env["plan"], env["cap"]
+        env.get("qt"), env.get("qt_pg"), env.get("wb"), env["plan"],
+        env["cap"]
     )
     gids = plan.tile_group_ids
 
@@ -172,13 +221,13 @@ def implementations(env, tile_m, which):
         xs, gids, q, tile_m=tile_m), (qt_pg,))
     # round-5 batched-partials per-group kernel (layout="planar_groups")
     reg("pg128bp", lambda xs, q: grouped_int4_matmul_per_group(
-        xs, gids, q, tile_m=tile_m), (env["qt_pgb"],))
+        xs, gids, q, tile_m=tile_m), (env.get("qt_pgb"),))
     if tile_m % 32 == 0:
         from fused4bit_tpu.ops.grouped_matmul import (
             grouped_int4_matmul_per_group_a8,
         )
         reg("pg128bp8", lambda xs, q: grouped_int4_matmul_per_group_a8(
-            xs, gids, q, tile_m=tile_m), (env["qt_pgb"],))
+            xs, gids, q, tile_m=tile_m), (env.get("qt_pgb"),))
     reg("int4-dequant", int4_dequant, (qt,))
     reg("bf16-bmm", lambda xs, w: jnp.einsum(
         "eck,enk->ecn", xs[: E * cap].reshape(E, cap, K), w
@@ -200,14 +249,18 @@ def implementations(env, tile_m, which):
     # platforms (like this tunneled chip) where XLA matmuls stream ~2.7x
     # faster than any Pallas DMA pipeline. 2x weight memory vs packed, same
     # int4 weight quality; see layers/linear (w8 resident mode).
-    if "w8" not in _WEIGHTS:
+    want_xla = not which or bool({"w4a8-xla", "w4u4-xla"} & set(which))
+    if want_xla and "w8" not in _WEIGHTS:
+        # EAGER build — only when an xla-resident impl is requested (the
+        # full-set f32 dequant transient is 11.5 GB at 64-expert geometries)
         wd = dequantize(qt, dtype=jnp.float32)
         # re-derive the int4 integer grid: q - zp in [-15, 15] fits i8
         # (zp is integer-valued by the quantization spec)
         q_int = jnp.round(wd / qt.scales[..., None]).astype(jnp.int8)
         _WEIGHTS["w8"] = jax.block_until_ready(q_int)
         _WEIGHTS["w8_scale"] = qt.scales
-    env["w8"], env["w8_scale"] = _WEIGHTS["w8"], _WEIGHTS["w8_scale"]
+    if want_xla:
+        env["w8"], env["w8_scale"] = _WEIGHTS["w8"], _WEIGHTS["w8_scale"]
 
     def w4a8_xla(xs, w8, scale):
         xf = xs[: E * cap].astype(jnp.float32)
@@ -225,7 +278,8 @@ def implementations(env, tile_m, which):
             * scale[:, None, :]
         ).reshape(-1, N).astype(xs.dtype)
 
-    reg("w4a8-xla", w4a8_xla, (env["w8"], env["w8_scale"]))
+    if want_xla:
+        reg("w4a8-xla", w4a8_xla, (env["w8"], env["w8_scale"]))
 
     # w4u4-xla: TRANSIENT unpack — weights stay packed u4 in HBM (true 4-bit
     # residency, unlike w4a8-xla's permanent 2x i8 copy); each call unpacks
@@ -248,24 +302,52 @@ def verify_cell(env, tile_m):
     takes tens of minutes for batched einsums, and the golden needs no
     compilation at all.
     """
+    import dataclasses as _dc
+
     qt, xs, plan = env["qt"], env["xs"], env["plan"]
     got = np.asarray(
         grouped_int4_matmul(xs, plan.tile_group_ids, qt, tile_m=tile_m),
         np.float32,
     )
-    wd = np.asarray(dequantize(qt, dtype=jnp.float32))
+    # Per-expert dequant: a one-shot f32 dequant of a 64-expert geometry is
+    # 11.5 GB of device transients (OOM beside the resident weight sets).
+    dq1 = jax.jit(lambda p, s, z: dequantize(_dc.replace(
+        qt, packed=p, scales=s, zero_points=z, shape=qt.shape[1:]
+    ), dtype=jnp.float32))
     gids = np.asarray(plan.tile_group_ids)
+    wd_cache = {}
+
+    def wd(g):
+        if g not in wd_cache:
+            wd_cache[g] = np.asarray(dq1(
+                qt.packed[g], qt.scales[g], qt.zero_points[g]
+            ))
+        return wd_cache[g]
+
     xt = np.asarray(xs, np.float32).reshape(len(gids), plan.tile_m, -1)
-    want = np.empty_like(got).reshape(len(gids), plan.tile_m, -1)
-    for i, g in enumerate(gids):
-        want[i] = xt[i] @ wd[g].T
-    want = want.reshape(got.shape)
-    err = float(np.max(np.abs(got - want)))
-    return err / max(float(np.max(np.abs(want))), 1e-9)
+    gotr = got.reshape(len(gids), plan.tile_m, -1)
+    # Subsample tiles at scale: the host-side f32 golden is single-core
+    # NumPy; at 64-expert prefill cells a full pass takes tens of minutes.
+    # 24 evenly-spaced tiles still touch >= 24 distinct experts' weights
+    # and every part of the token range.
+    idx = (np.arange(len(gids)) if len(gids) <= 24
+           else np.linspace(0, len(gids) - 1, 24).astype(int))
+    err = denom = 0.0
+    for i in idx:
+        want_i = xt[i] @ wd(int(gids[i])).T
+        err = max(err, float(np.max(np.abs(gotr[i] - want_i))))
+        denom = max(denom, float(np.max(np.abs(want_i))))
+    return err / max(denom, 1e-9)
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default="mixtral",
+                   help="MoE geometry from the registry (mixtral / deepseek "
+                        "/ glm / qwen / debug) — the same sweep generalizes "
+                        "to any of the reference's model configs "
+                        "(config.py:70-109); non-mixtral runs default their "
+                        "artifact to moe_sweep_<name>_device.json")
     p.add_argument("--tokens", type=int, nargs="*", default=[8, 32, 128, 2048])
     p.add_argument("--dists", nargs="*", default=["uniform", "skewed"])
     p.add_argument("--iters", type=int, default=8)
@@ -285,12 +367,44 @@ def main(argv=None):
                         "traces (preferred; see time_fn_device above)")
     p.add_argument("--verify", action="store_true", default=True)
     p.add_argument("--no-verify", dest="verify", action="store_false")
-    p.add_argument("--out", default=os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "results",
-        "mixtral_sweep.json"))
+    p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
+    global E, K, N, TOPK
+    if args.config != "mixtral":
+        from fused4bit_tpu.models.config import get_config_by_name
+
+        mc = get_config_by_name(args.config)
+        E, K, N, TOPK = mc.num_experts, mc.hidden_dim, mc.ffn_dim, mc.top_k
+    if args.out is None:
+        name = ("mixtral_sweep.json" if args.config == "mixtral"
+                else f"moe_sweep_{args.config}_device.json")
+        args.out = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "results", name)
+
     print(f"backend: {jax.default_backend()}  device: {jax.devices()[0]}")
+    print(f"geometry: E={E} {K}->{N} top{TOPK} ({args.config})")
+
+    # lazy weight sets (see build_weights): only what the requested impls
+    # + verification actually touch
+    core_extra = set(args.impls or []) or {
+        "bf16-bmm", "bf16-naive", "int4", "int4-dequant", "w4a8",
+        "w4a8-xla", "int4-xres", "int4-minner", "int4-ninner",
+        "int4-ksplit", "pg128", "pg128bp", "pg128bp8", "w4u4-xla",
+    }
+    need = set()
+    if args.verify or core_extra & {
+        "int4", "int4-dequant", "w4a8", "w4a8-xla", "w4u4-xla",
+        "int4-xres", "int4-minner", "int4-ninner", "int4-ksplit",
+    }:
+        need.add("qt")
+    if "pg128" in core_extra:
+        need.add("qt_pg")
+    if core_extra & {"pg128bp", "pg128bp8"}:
+        need.add("qt_pgb")
+    if core_extra & {"bf16-bmm", "bf16-naive"}:
+        need.add("wb")
+    _WEIGHTS["_need"] = need
     results = {}
     if os.path.exists(args.out):
         with open(args.out) as f:
